@@ -1,0 +1,211 @@
+"""Variant-specific regularizers: Pati, adversarial (Fader), GMM KLs, GLSR.
+
+Everything the reference computes with host numpy round-trips or Python
+loops (e.g. `np.subtract.outer` in trainer.py:123, the K-component loop in
+trainer_gmm.py:154-167, the per-sample rhythm-density loop in
+trainer_glsr.py:141-171) is vectorized here and stays on device.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from music_fader_nets_tpu.losses.elbo import kl_diag_gaussians
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Pati et al. 2019 attribute regularization (reference trainer.py:117-132)
+# ---------------------------------------------------------------------------
+
+
+def pati_regularizer(z_dim0: jax.Array, attr: jax.Array) -> jax.Array:
+    """MSE( tanh(pairwise Δ z[:,0]), sign(pairwise Δ attr) ).
+
+    z_dim0: (B,) — the regularized latent dimension; attr: (B,) densities.
+    The reference computes the attribute outer difference on host numpy and
+    ships it back to device; here it is one broadcast.
+    """
+    d_z = z_dim0[:, None] - z_dim0[None, :]
+    d_attr = attr[:, None] - attr[None, :]
+    return jnp.mean((jnp.tanh(d_z) - jnp.sign(d_attr)) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Fader adversarial loss (reference trainer_fader.py:105-110)
+# ---------------------------------------------------------------------------
+
+
+def adversarial_fader_loss(step, disc_out: jax.Array, density: jax.Array,
+                           lmbda_max: float = 1e-4) -> jax.Array:
+    """lambda(step) * MSE(discriminator, density); the gradient-reversal layer
+    inside the model makes this adversarial for the encoder."""
+    lmbda = jnp.minimum(step / 2000.0 * lmbda_max, lmbda_max)
+    return lmbda * jnp.mean(
+        (jnp.squeeze(disc_out) - jnp.squeeze(density)) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# GM-VAE KL terms (reference trainer_gmm.py:109-196)
+# ---------------------------------------------------------------------------
+
+
+def gmm_unsupervised_kl(mu, std, qy_x, log_logit, mu_lookup, logvar_lookup
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Unsupervised branch: sum_k qy_x[:,k] * KL[q(z|x) || p(z|k)]
+    plus KL[q(y|x) || Uniform] (reference trainer_gmm.py:150-178).
+
+    Reductions replicate the reference exactly: the latent KL is the
+    per-sample *mean over D*, weighted, batch-meaned, summed over K; the
+    class KL uses a *mean over K* inside the entropy term
+    (trainer_gmm.py:170-176 — `torch.mean(..., dim=1)`).
+    """
+    logvar = jax.lax.stop_gradient(logvar_lookup)
+    mu_p = mu_lookup                                  # (K, D)
+    # The reference passes `logvar_lookup(k).exp_()` as the *scale* argument
+    # of Normal (trainer_gmm.py:156) => stddev_p = exp(logvar), the same
+    # log-sigma convention as the encoder heads.
+    std_p = jnp.exp(logvar)
+    kl = kl_diag_gaussians(mu[:, None, :], std[:, None, :],
+                           mu_p[None], std_p[None])   # (B, K, D)
+    kl = jnp.mean(kl, axis=-1)                        # per-sample mean over D
+    kld_lat = jnp.sum(jnp.mean(kl * qy_x, axis=0))    # weight, batch-mean, sum K
+
+    n_component = qy_x.shape[-1]
+    h = jnp.mean(qy_x * jax.nn.log_softmax(log_logit, axis=-1), axis=-1)
+    kld_cls = jnp.mean(h - math.log(1.0 / n_component))
+    return kld_lat, kld_cls
+
+
+def gmm_supervised_kl(mu, std, y_label, qy_x, mu_lookup, logvar_lookup
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Supervised branch: KL[q(z|x) || p(z|y_label)] + CE(qy_x, y)
+    (reference trainer_gmm.py:180-194). NB the reference feeds the *softmax
+    probabilities* qy_x into `nn.CrossEntropyLoss` (which applies another
+    log_softmax) — replicated faithfully."""
+    logvar = jax.lax.stop_gradient(logvar_lookup)
+    mu_p = mu_lookup[y_label]                          # (B, D)
+    std_p = jnp.exp(logvar)[y_label]
+    kl = kl_diag_gaussians(mu, std, mu_p, std_p)
+    kld_lat = jnp.mean(jnp.mean(kl, axis=-1))
+
+    log_q = jax.nn.log_softmax(qy_x, axis=-1)          # double-softmax quirk
+    ce = -jnp.mean(jnp.take_along_axis(log_q, y_label[:, None], axis=-1))
+    return kld_lat, ce
+
+
+# ---------------------------------------------------------------------------
+# GLSR (Hadjeres et al.) — reference trainer_glsr.py:118-229
+# ---------------------------------------------------------------------------
+
+# Token-role masks over the 342 vocab (reference trainer_glsr.py:125,133):
+# tokens 2..89 are note-on; 180..277 are the time-shift tokens used as
+# step separators (from 30ms up).
+_NOTE_ON_LO, _NOTE_ON_HI = 2, 90
+_TIME_SEP_LO, _TIME_SEP_HI = 180, 278
+
+
+def _soft_masks(vocab: int, dtype):
+    played = jnp.zeros((vocab,), dtype).at[_NOTE_ON_LO:_NOTE_ON_HI].set(1.0)
+    sep = jnp.zeros((vocab,), dtype).at[_TIME_SEP_LO:_TIME_SEP_HI].set(1.0)
+    return played, sep
+
+
+def approx_played_notes(log_probs: jax.Array) -> jax.Array:
+    """Soft count of note-on mass per step: (B, T). softmax of log-probs
+    equals the probabilities, as in the reference."""
+    probs = jax.nn.softmax(log_probs, axis=-1)
+    played, _ = _soft_masks(log_probs.shape[-1], log_probs.dtype)
+    return probs @ played
+
+
+def approx_time_separators(log_probs: jax.Array) -> jax.Array:
+    probs = jax.nn.softmax(log_probs, axis=-1)
+    _, sep = _soft_masks(log_probs.shape[-1], log_probs.dtype)
+    return probs @ sep
+
+
+def approx_note_density(log_probs: jax.Array) -> jax.Array:
+    """(B,) soft note count: sum over time of note-on mass
+    (reference trainer_glsr.py:137-139)."""
+    return jnp.sum(approx_played_notes(log_probs), axis=-1)
+
+
+def approx_rhythm_density(log_probs: jax.Array,
+                          faithful_batch0: bool = True) -> jax.Array:
+    """Vectorized soft rhythm density (reference trainer_glsr.py:141-171).
+
+    The reference iterates positions per sample: accumulate note-on mass
+    until a separator (sep >= 0.9, non-differentiable threshold exactly as
+    the reference's `.item()` compare), then add f(cur) where
+    f(c) = 1 (zero gradient, via `cur/cur`) if c > 1e-2 else c; finally
+    divide by the sample's total separator mass. The scan below reproduces
+    that recurrence exactly, batched.
+
+    faithful_batch0 replicates the reference bug that indexes
+    `played_notes[0][i]` — every sample accumulates batch element 0's
+    note-on masses (trainer_glsr.py:154).
+    """
+    played = approx_played_notes(log_probs)            # (B, T)
+    sep = approx_time_separators(log_probs)            # (B, T)
+    if faithful_batch0:
+        played = jnp.broadcast_to(played[0:1], played.shape)
+
+    boundary = sep >= 0.9                              # (B, T) bool, no grad
+
+    def body(cur, inp):
+        p_t, b_t = inp                                 # (B,), (B,) bool
+        cur = cur + jnp.where(b_t, 0.0, p_t)
+        # f(c): 1 with zero gradient when c > 1e-2, else c
+        contrib = jnp.where(b_t,
+                            jnp.where(cur > 1e-2, 1.0, cur),
+                            0.0)
+        cur = jnp.where(b_t, 0.0, cur)
+        return cur, contrib
+
+    _, contribs = jax.lax.scan(
+        body, jnp.zeros(played.shape[0], played.dtype),
+        (played.T, boundary.T))
+    total = jnp.sum(contribs, axis=0)                  # (B,)
+    return total / jnp.sum(sep, axis=-1)
+
+
+def glsr_regularizer(decode_fn, z_r, z_n, chroma, rng,
+                     epsilon: float = 1e-2,
+                     faithful_batch0: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """GLSR finite-difference latent supervision (reference
+    trainer_glsr.py:173-229).
+
+    `decode_fn(z_full) -> (B, steps, V)` must be the teacher-forced decoder
+    the reference uses in training mode (model.training => teacher forcing).
+    Perturbs dim 0 of each stream by ±delta, delta = (1 + U[0,1)) * eps,
+    decodes, estimates d(attr)/dz by central difference, and penalizes
+    -log N(grad; 0, 1).
+    """
+    B = z_r.shape[0]
+    kr, kn = jax.random.split(rng)
+
+    def one_stream(key, z_main, z_other, attr_fn, order_r_first):
+        deltas = (1.0 + jax.random.uniform(key, (B,), z_main.dtype)) * epsilon
+        z_plus = z_main.at[:, 0].add(deltas)
+        z_minus = z_main.at[:, 0].add(-deltas)
+        if order_r_first:
+            full_p = jnp.concatenate([z_plus, z_other, chroma], axis=-1)
+            full_m = jnp.concatenate([z_minus, z_other, chroma], axis=-1)
+        else:
+            full_p = jnp.concatenate([z_other, z_plus, chroma], axis=-1)
+            full_m = jnp.concatenate([z_other, z_minus, chroma], axis=-1)
+        a_p = attr_fn(decode_fn(full_p))
+        a_m = attr_fn(decode_fn(full_m))
+        grad_attr = jnp.squeeze(a_p - a_m) / (2.0 * deltas)
+        return jnp.mean(0.5 * grad_attr ** 2 + 0.5 * LOG_2PI)
+
+    l_r = one_stream(kr, z_r, z_n,
+                     lambda lp: approx_rhythm_density(lp, faithful_batch0),
+                     order_r_first=True)
+    l_n = one_stream(kn, z_n, z_r, approx_note_density, order_r_first=False)
+    return l_r, l_n

@@ -1,0 +1,192 @@
+"""Shared building blocks of all Music FaderNets model families.
+
+Three components compose every model in the reference
+(reference model_v2.py:81-143, gmm_model.py:82-149):
+
+  * a bidirectional-GRU sequence encoder producing a diagonal Gaussian,
+  * teacher-forced GRU *sub-decoders* reconstructing attribute tracks,
+  * an autoregressive 2-layer-GRUCell *global decoder* over event tokens.
+
+TPU-first design notes:
+  * All recurrences are `lax.scan`s with the input-to-hidden projection of
+    the whole sequence hoisted into a single MXU matmul (see ops/gru.py).
+  * The autoregressive decoder's per-step input is `[one_hot(token), z]`
+    (reference model_v2.py:128). The `z` half is constant across steps, so
+    its projection is computed once; the one-hot half's projection is a row
+    *gather* of `w_ih` — no per-step input matmul exists at all. The scan
+    body is two (B,H)@(H,3H) matmuls + the (B,H)@(H,V) logit projection.
+  * Shapes are static (`steps` is a Python int) so XLA compiles one program
+    per decode length (100 for eval, 300 for transfer).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from music_fader_nets_tpu.ops.gru import (
+    bigru_apply,
+    bigru_init,
+    gru_cell_from_pre,
+    gru_init,
+    gru_scan,
+    linear_apply,
+    linear_init,
+)
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encoder_stream_init(key, in_dim: int, hidden: int, z_dims: int, dtype=jnp.float32):
+    """One encoder stream: bi-GRU + mu/logsig heads."""
+    kg, km, kv = jax.random.split(key, 3)
+    return {
+        "gru": bigru_init(kg, in_dim, hidden, dtype),
+        "mu": linear_init(km, 2 * hidden, z_dims, dtype),
+        "var": linear_init(kv, 2 * hidden, z_dims, dtype),
+    }
+
+
+def encoder_stream_apply(p, x_oh: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x_oh (B, T, V) -> (mu, stddev). stddev = exp(logsig): the reference's
+    `var` head predicts log-sigma and exponentiates (model_v2.py:85)."""
+    h = bigru_apply(p["gru"], x_oh)          # (B, 2H)
+    mu = linear_apply(p["mu"], h)
+    std = jnp.exp(linear_apply(p["var"], h))
+    return mu, std
+
+
+# ---------------------------------------------------------------------------
+# Sub-decoder (teacher-forced attribute-track reconstruction)
+# ---------------------------------------------------------------------------
+
+
+def sub_decoder_init(key, z_dims: int, track_dims: int, hidden: int, dtype=jnp.float32):
+    kg, ki, ko = jax.random.split(key, 3)
+    return {
+        "gru": gru_init(kg, z_dims + track_dims, hidden, dtype),
+        "init": linear_init(ki, z_dims, hidden, dtype),
+        "out": linear_init(ko, hidden, track_dims, dtype),
+    }
+
+
+def sub_decoder_apply(p, track_oh: jax.Array, z: jax.Array,
+                      faithful_softmax_axis: bool = True) -> jax.Array:
+    """Teacher-forced track reconstruction (reference model_v2.py:99-116).
+
+    Input at each step is `[track_onehot_t, z]`; hidden state initialized
+    from `linear_init(z)`. When `faithful_softmax_axis`, log_softmax is taken
+    over axis=1 (the TIME axis) replicating the reference's
+    `F.log_softmax(..., 1)` on a (B, T, C) tensor — a documented quirk
+    (SURVEY.md §2.4); otherwise over the class axis.
+    """
+    B, T, _ = track_oh.shape
+    z_rep = jnp.broadcast_to(z[:, None, :], (B, T, z.shape[-1]))
+    inputs = jnp.concatenate([track_oh, z_rep], axis=-1)
+    h0 = linear_apply(p["init"], z)
+    outs, _ = gru_scan(p["gru"], inputs, h0)
+    logits = linear_apply(p["out"], outs)    # (B, T, C)
+    axis = 1 if faithful_softmax_axis else -1
+    return jax.nn.log_softmax(logits, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Global autoregressive decoder
+# ---------------------------------------------------------------------------
+
+
+def global_decoder_init(key, z_total: int, roll_dims: int, hidden: int, dtype=jnp.float32):
+    """2-layer GRUCell decoder (reference model_v2.py:44-49). Per-step input is
+    `[token_onehot (roll_dims), z (z_total)]` — token first, matching
+    `torch.cat([out, z], 1)` (model_v2.py:128) for converter parity."""
+    ki, k1, k2, ko = jax.random.split(key, 4)
+    return {
+        "linear_init_global": linear_init(ki, z_total, hidden, dtype),
+        "grucell_g": gru_init(k1, roll_dims + z_total, hidden, dtype),
+        "grucell_g_2": gru_init(k2, hidden, hidden, dtype),
+        "linear_out_g": linear_init(ko, hidden, roll_dims, dtype),
+    }
+
+
+def _split_w_ih(p, roll_dims: int):
+    w_ih = p["grucell_g"]["w_ih"]            # (V + Z, 3H)
+    return w_ih[:roll_dims], w_ih[roll_dims:]
+
+
+def _decoder_step(p, pre_x, h1, h2, is_first):
+    """One decoder step given a precomputed layer-1 input projection.
+
+    Replicates the reference's step-0 special case (model_v2.py:130-132):
+    after the layer-1 update at step 0, layer 2's previous hidden is set to
+    the *new* layer-1 state before its own update.
+    """
+    h1_new = gru_cell_from_pre(p["grucell_g"], pre_x, h1)
+    h2_prev = jnp.where(is_first, h1_new, h2)
+    pre2 = h1_new @ p["grucell_g_2"]["w_ih"] + p["grucell_g_2"]["b_ih"]
+    h2_new = gru_cell_from_pre(p["grucell_g_2"], pre2, h2_prev)
+    logp = jax.nn.log_softmax(linear_apply(p["linear_out_g"], h2_new), axis=-1)
+    return h1_new, h2_new, logp
+
+
+def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
+    """Teacher-forced decode over the full sequence (training path).
+
+    Inputs are `[start, x_0, ..., x_{T-2}]`; outputs predict `[x_0..x_{T-1}]`
+    (reference model_v2.py:127-142 with `eps=100` => always teacher-forced,
+    SURVEY.md §2.4). The start token is one-hot at the LAST vocab index
+    (model_v2.py:119-120 `out[:, -1] = 1`).
+
+    The entire input projection — token part AND z part — is hoisted out of
+    the scan into one batched matmul.
+    """
+    B, T, V = x_oh.shape
+    w_tok, w_z = _split_w_ih(p, V)
+    start = jnp.zeros((B, 1, V), x_oh.dtype).at[:, 0, V - 1].set(1.0)
+    inputs = jnp.concatenate([start, x_oh[:, :-1]], axis=1)          # (B, T, V)
+    pre_z = z @ w_z + p["grucell_g"]["b_ih"]                          # (B, 3H)
+    pre = inputs @ w_tok + pre_z[:, None, :]                          # (B, T, 3H)
+    pre = jnp.swapaxes(pre, 0, 1)                                     # (T, B, 3H)
+
+    h1 = linear_apply(p["linear_init_global"], z)
+    h2 = jnp.zeros_like(h1)
+
+    def body(carry, inp):
+        h1, h2 = carry
+        t, pre_t = inp
+        h1, h2, logp = _decoder_step(p, pre_t, h1, h2, t == 0)
+        return (h1, h2), logp
+
+    ts = jnp.arange(T)
+    _, logps = jax.lax.scan(body, (h1, h2), (ts, pre))
+    return jnp.swapaxes(logps, 0, 1)                                  # (B, T, V)
+
+
+def global_decoder_greedy(p, z: jax.Array, steps: int) -> jax.Array:
+    """Autoregressive greedy decode (eval / style-transfer path).
+
+    Token feedback is the argmax of the previous step's log-probs
+    (reference model_v2.py:140-142 `_sampling`). Because the feedback is
+    one-hot, its input projection is a row gather `w_tok[token_id]` — the
+    scan body contains no input matmul.
+    """
+    B = z.shape[0]
+    V = p["linear_out_g"]["w"].shape[-1]
+    w_tok, w_z = _split_w_ih(p, V)
+    pre_z = z @ w_z + p["grucell_g"]["b_ih"]                          # (B, 3H)
+
+    h1 = linear_apply(p["linear_init_global"], z)
+    h2 = jnp.zeros_like(h1)
+    tok0 = jnp.full((B,), V - 1, dtype=jnp.int32)                     # start = last idx
+
+    def body(carry, t):
+        h1, h2, tok = carry
+        pre_t = jnp.take(w_tok, tok, axis=0) + pre_z                  # gather, no matmul
+        h1, h2, logp = _decoder_step(p, pre_t, h1, h2, t == 0)
+        tok_new = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        return (h1, h2, tok_new), logp
+
+    _, logps = jax.lax.scan(body, (h1, h2, tok0), jnp.arange(steps))
+    return jnp.swapaxes(logps, 0, 1)                                  # (B, steps, V)

@@ -1,0 +1,8 @@
+from music_fader_nets_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)

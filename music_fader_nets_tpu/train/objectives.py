@@ -1,0 +1,210 @@
+"""Per-model loss bundles.
+
+Each objective is a pure function
+    loss_fn(params, rng, batch, step, cfg) -> (loss, metrics)
+usable under `jax.value_and_grad(..., has_aux=True)` inside a jitted train
+step. One-hot expansion happens on device (`jax.nn.one_hot`) — cheaper than
+the reference's per-batch `scatter_` on host-shaped tensors
+(reference trainer.py:189-196).
+
+The six bundles mirror the reference's six trainer scripts (SURVEY.md §2.3):
+vanilla (trainer.py), gmm (trainer_gmm.py), glsr (trainer_glsr.py),
+cvae (trainer_cvae.py), fader (trainer_fader.py), singlevae
+(trainer_singlevae.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu.losses.elbo import anneal_beta, kl_std_normal, nll_mean
+from music_fader_nets_tpu.losses.regularizers import (
+    adversarial_fader_loss,
+    glsr_regularizer,
+    gmm_supervised_kl,
+    gmm_unsupervised_kl,
+    pati_regularizer,
+)
+from music_fader_nets_tpu.models import gmvae, vae
+from music_fader_nets_tpu.models.modules import global_decoder_teacher
+from music_fader_nets_tpu.models.vae import _global_view
+
+Metrics = Dict[str, jax.Array]
+
+
+def _one_hots(batch, cfg: ModelConfig, dtype=jnp.float32):
+    x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims, dtype=dtype)
+    r_oh = jax.nn.one_hot(batch["r"], cfg.rhythm_dims, dtype=dtype)
+    n_oh = jax.nn.one_hot(batch["n"], cfg.note_dims, dtype=dtype)
+    return x_oh, r_oh, n_oh
+
+
+def _recon_ce(fwd, batch, cfg: ModelConfig):
+    ce_x = nll_mean(fwd["out"], batch["x"])
+    ce_r = nll_mean(fwd["r_out"], batch["r"])
+    ce_n = nll_mean(fwd["n_out"], batch["n"])
+    return ce_x, ce_r, ce_n
+
+
+# ---------------------------------------------------------------------------
+
+
+def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
+                 train: bool = True) -> Tuple[jax.Array, Metrics]:
+    """ELBO + Pati attribute regularization (reference trainer.py:87-132)."""
+    x_oh, r_oh, n_oh = _one_hots(batch, cfg)
+    fwd = vae.reg_vae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
+                              cfg, train=train)
+    ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
+    ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
+    kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
+           + kl_std_normal(fwd["mu_n"], fwd["std_n"]))
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    l_r = pati_regularizer(fwd["z_r"][:, 0], batch["r_density"])
+    l_n = pati_regularizer(fwd["z_n"][:, 0], batch["n_density"])
+    loss = ce + beta0 * kld + l_r + l_n
+    return loss, {"loss": loss, "CE_X": ce_x, "CE_R": ce_r, "CE_N": ce_n,
+                  "l_r": l_r, "l_n": l_n, "KLD": kld}
+
+
+# ---------------------------------------------------------------------------
+
+
+def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
+             is_supervised: bool = False, train: bool = True
+             ) -> Tuple[jax.Array, Metrics]:
+    """GM-VAE loss, unsupervised (Yamaha) or supervised (VGMIDI arousal)
+    branch (reference trainer_gmm.py:109-196), + Pati regularization."""
+    x_oh, r_oh, n_oh = _one_hots(batch, cfg)
+    fwd = gmvae.reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
+                                  cfg, train=train)
+    ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
+    ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+
+    if not is_supervised:
+        kld_lat_r, kld_cls_r = gmm_unsupervised_kl(
+            fwd["mu_r"], fwd["std_r"], fwd["qy_x_r"], fwd["log_logit_r"],
+            params["mu_r_lookup"], params["logvar_r_lookup"])
+        kld_lat_n, kld_cls_n = gmm_unsupervised_kl(
+            fwd["mu_n"], fwd["std_n"], fwd["qy_x_n"], fwd["log_logit_n"],
+            params["mu_n_lookup"], params["logvar_n_lookup"])
+        loss = ce + beta0 * (kld_lat_r + kld_lat_n + kld_cls_r + kld_cls_n)
+        clf = jnp.zeros(())
+    else:
+        y = batch["a"].astype(jnp.int32)
+        kld_lat_r, clf_r = gmm_supervised_kl(
+            fwd["mu_r"], fwd["std_r"], y, fwd["qy_x_r"],
+            params["mu_r_lookup"], params["logvar_r_lookup"])
+        kld_lat_n, clf_n = gmm_supervised_kl(
+            fwd["mu_n"], fwd["std_n"], y, fwd["qy_x_n"],
+            params["mu_n_lookup"], params["logvar_n_lookup"])
+        kld_cls_r = kld_cls_n = jnp.zeros(())
+        clf = clf_r + clf_n
+        loss = ce + beta0 * (kld_lat_r + kld_lat_n) + clf
+
+    l_r = pati_regularizer(fwd["z_r"][:, 0], batch["r_density"])
+    l_n = pati_regularizer(fwd["z_n"][:, 0], batch["n_density"])
+    loss = loss + l_r + l_n
+    return loss, {"loss": loss, "CE_X": ce_x, "CE_R": ce_r, "CE_N": ce_n,
+                  "l_r": l_r, "l_n": l_n,
+                  "kld_latent": kld_lat_r + kld_lat_n,
+                  "kld_class": kld_cls_r + kld_cls_n, "clf": clf}
+
+
+# ---------------------------------------------------------------------------
+
+
+def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
+              train: bool = True) -> Tuple[jax.Array, Metrics]:
+    """Vanilla ELBO + GLSR finite-difference regularizer
+    (reference trainer_glsr.py:87-229). The GLSR decodes are teacher-forced
+    — the reference model is in training mode during the extra decodes —
+    and are gated on step > 20 (trainer_glsr.py:253) via a lazily-valued
+    `where` (both branches compile; the decode cost is inherent to GLSR)."""
+    x_oh, r_oh, n_oh = _one_hots(batch, cfg)
+    rng_fwd, rng_glsr = jax.random.split(rng)
+    fwd = vae.reg_vae_forward(params, rng_fwd, x_oh, r_oh, n_oh, batch["c"],
+                              cfg, train=train)
+    ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
+    ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
+    kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
+           + kl_std_normal(fwd["mu_n"], fwd["std_n"]))
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+
+    steps = min(cfg.eval_decode_steps, x_oh.shape[1])
+    gview = _global_view(params)
+
+    def decode_fn(z_full):
+        return global_decoder_teacher(gview, z_full, x_oh[:, :steps])
+
+    l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
+                                rng_glsr,
+                                faithful_batch0=cfg.faithful_glsr_batch0)
+    gate = (step > 20).astype(l_r.dtype)
+    loss = ce + beta0 * kld + gate * (l_r + l_n)
+    return loss, {"loss": loss, "CE_X": ce_x, "CE_R": ce_r, "CE_N": ce_n,
+                  "l_r": gate * l_r, "l_n": gate * l_n, "KLD": kld}
+
+
+# ---------------------------------------------------------------------------
+
+
+def cvae_loss(params, rng, batch, step, cfg: ModelConfig,
+              train: bool = True) -> Tuple[jax.Array, Metrics]:
+    """CE_X + annealed KLD only (reference trainer_cvae.py:84-102)."""
+    x_oh, _, _ = _one_hots(batch, cfg)
+    rd = batch["r_density"][:, None]
+    nd = batch["n_density"][:, None]
+    fwd = vae.cvae_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
+                           train=train)
+    ce_x = nll_mean(fwd["out"], batch["x"])
+    kld = kl_std_normal(fwd["mu"], fwd["std"])
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    loss = ce_x + beta0 * kld
+    return loss, {"loss": loss, "CE_X": ce_x, "KLD": kld}
+
+
+# ---------------------------------------------------------------------------
+
+
+def fader_loss(params, rng, batch, step, cfg: ModelConfig,
+               train: bool = True) -> Tuple[jax.Array, Metrics]:
+    """CVAE loss + ramped adversarial MSE through the gradient-reversed
+    discriminators (reference trainer_fader.py:84-135)."""
+    x_oh, _, _ = _one_hots(batch, cfg)
+    rd = batch["r_density"][:, None]
+    nd = batch["n_density"][:, None]
+    fwd = vae.fader_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
+                            train=train)
+    ce_x = nll_mean(fwd["out"], batch["x"])
+    kld = kl_std_normal(fwd["mu"], fwd["std"])
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    l_adv_r = adversarial_fader_loss(step, fwd["disc_r"], rd)
+    l_adv_n = adversarial_fader_loss(step, fwd["disc_n"], nd)
+    loss = ce_x + beta0 * kld + l_adv_r + l_adv_n
+    return loss, {"loss": loss, "CE_X": ce_x, "KLD": kld,
+                  "l_adv_r": l_adv_r, "l_adv_n": l_adv_n}
+
+
+# ---------------------------------------------------------------------------
+
+
+def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
+                   train: bool = True) -> Tuple[jax.Array, Metrics]:
+    """5*CE_X + beta*KLD (NO annealing — the reference uses raw beta,
+    trainer_singlevae.py:107) + Pati reg on z[:,0] (rhythm) and z[:,1]
+    (note) of the single latent (trainer_singlevae.py:110-123)."""
+    x_oh, _, _ = _one_hots(batch, cfg)
+    fwd = vae.single_vae_forward(params, rng, x_oh, batch["c"], cfg,
+                                 train=train)
+    ce_x = nll_mean(fwd["out"], batch["x"])
+    kld = kl_std_normal(fwd["mu"], fwd["std"])
+    l_r = pati_regularizer(fwd["z"][:, 0], batch["r_density"])
+    l_n = pati_regularizer(fwd["z"][:, 1], batch["n_density"])
+    loss = cfg.ce_x_weight * ce_x + cfg.beta * kld + l_r + l_n
+    return loss, {"loss": loss, "CE_X": ce_x, "KLD": kld,
+                  "l_r": l_r, "l_n": l_n}

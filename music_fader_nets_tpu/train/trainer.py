@@ -1,0 +1,180 @@
+"""Generic trainer.
+
+The reference has six ~80%-identical trainer scripts (SURVEY.md §2.3); here
+one `Trainer` is parameterized by (init_fn, loss bundle(s), corpus). The
+train step is a single jitted program: one-hot expansion, forward, loss,
+grads, global-norm clip (1.0, reference trainer.py:157), Adam update — all
+fused by XLA on device. With a mesh, params follow the TP layout and batches
+are sharded over the `data` axis; GSPMD inserts the gradient all-reduce.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu.data.loader import batch_iterator, num_batches
+from music_fader_nets_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array          # int32 scalar, drives KL annealing
+
+
+def make_optimizer(cfg: ModelConfig) -> optax.GradientTransformation:
+    """clip_by_global_norm(1.0) then Adam(lr) — matches the reference's
+    `clip_grad_norm_(1)` + `optim.Adam(lr)` (trainer.py:49,157)."""
+    return optax.chain(optax.clip_by_global_norm(1.0),
+                       optax.adam(cfg.lr))
+
+
+class Trainer:
+    def __init__(self,
+                 cfg: ModelConfig,
+                 init_fn: Callable,
+                 loss_fns: Dict[str, Callable],
+                 mesh=None,
+                 seed: int = 0,
+                 params=None):
+        """loss_fns: named loss bundles, e.g. {"default": vanilla_loss} or
+        {"default": unsup_gmm, "supervised": sup_gmm} for the dual-corpus
+        GM-VAE loop."""
+        self.cfg = cfg
+        self.mesh = mesh
+        self.optimizer = make_optimizer(cfg)
+        self.base_rng = jax.random.PRNGKey(seed)
+        self._host_step = 0
+
+        if params is None:
+            params = init_fn(jax.random.PRNGKey(seed), cfg)
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if mesh is not None:
+            state = TrainState(
+                mesh_lib.shard_params(state.params, mesh),
+                jax.device_put(state.opt_state,
+                               mesh_lib.replicated(mesh)),
+                jax.device_put(state.step, mesh_lib.replicated(mesh)))
+        self.state = state
+
+        self._train_steps = {
+            name: self._build_train_step(fn) for name, fn in loss_fns.items()}
+        self._eval_steps = {
+            name: self._build_eval_step(fn) for name, fn in loss_fns.items()}
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self, loss_fn):
+        cfg = self.cfg
+        optimizer = self.optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng):
+            def lossf(params):
+                return loss_fn(params, rng, batch, state.step, cfg)
+            (loss, metrics), grads = jax.value_and_grad(
+                lossf, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return train_step
+
+    def _build_eval_step(self, loss_fn):
+        cfg = self.cfg
+
+        @jax.jit
+        def eval_step(state: TrainState, batch, rng):
+            # The reference evaluates with the model still in training mode
+            # and no no_grad (trainer.py:232-252) — numerically the forward
+            # is the same; we simply don't differentiate.
+            _, metrics = loss_fn(state.params, rng, batch, state.step, cfg)
+            return metrics
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+
+    def _place(self, batch):
+        if self.mesh is not None:
+            return mesh_lib.shard_batch(batch, self.mesh)
+        return batch
+
+    def run_epoch(self, arrays, variant: str = "default", train: bool = True,
+                  shuffle: bool = True, seed: Optional[int] = None,
+                  batch_size: Optional[int] = None) -> Dict[str, float]:
+        """One pass over `arrays`; returns per-batch-averaged metrics."""
+        bs = batch_size or self.cfg.batch_size
+        step_fn = (self._train_steps if train else self._eval_steps)[variant]
+        totals: Dict[str, float] = {}
+        n = 0
+        for batch in batch_iterator(arrays, bs, shuffle=shuffle, seed=seed):
+            # host-side step counter for the RNG stream: avoids a device
+            # sync per batch (reading state.step would stall the pipeline)
+            rng = jax.random.fold_in(self.base_rng, self._host_step)
+            self._host_step += 1
+            batch = self._place(batch)
+            if train:
+                self.state, metrics = step_fn(self.state, batch, rng)
+            else:
+                metrics = step_fn(self.state, batch, rng)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
+    def fit(self, train_arrays, val_arrays=None, n_epochs: Optional[int] = None,
+            log_fn: Callable[[str], None] = print,
+            checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None):
+        n_epochs = n_epochs or self.cfg.n_epochs
+        for epoch in range(1, n_epochs + 1):
+            log_fn(f"Epoch {epoch} / {n_epochs}")
+            t0 = time.time()
+            tr = self.run_epoch(train_arrays, train=True, seed=epoch)
+            lines = [f"train loss: {tr.get('loss', float('nan')):.4f}"
+                     f"  ({time.time() - t0:.1f}s)"]
+            if val_arrays is not None:
+                ev = self.run_epoch(val_arrays, train=False, shuffle=False)
+                lines.append(f"val loss: {ev.get('loss', float('nan')):.4f}")
+            log_fn("  ".join(lines))
+            log_fn("train by term - " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(tr.items()) if k != "loss"))
+            if checkpoint_fn is not None:
+                checkpoint_fn(self.state, epoch)
+        return self.state
+
+    # convenience ------------------------------------------------------
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def steady_state_step_time(self, arrays, variant: str = "default",
+                               warmup: int = 2, iters: int = 10,
+                               batch_size: Optional[int] = None) -> float:
+        """Median seconds/step after compilation — benchmarking helper."""
+        bs = batch_size or self.cfg.batch_size
+        it = batch_iterator(arrays, bs, shuffle=False)
+        batch = self._place(next(it))
+        step_fn = self._train_steps[variant]
+        rng = self.base_rng
+        for _ in range(warmup):
+            self.state, m = step_fn(self.state, batch, rng)
+        jax.block_until_ready(m)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            self.state, m = step_fn(self.state, batch, rng)
+            jax.block_until_ready(m)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))

@@ -1,0 +1,92 @@
+"""Trainer integration: every objective runs a jitted step, gradients are
+finite, loss decreases on the vanilla objective."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu import models
+from music_fader_nets_tpu.data.datasets import VGMIDIDataset, YamahaDataset
+from music_fader_nets_tpu.data.synthetic import synth_corpus, synth_vgmidi
+from music_fader_nets_tpu.train import (
+    Trainer, cvae_loss, fader_loss, glsr_loss, gmm_loss, singlevae_loss,
+    vanilla_loss,
+)
+
+CFG = ModelConfig(hidden_dims=32, z_dims=8, batch_size=8, seq_len=40,
+                  attr_len=8, eval_decode_steps=20)
+
+
+@pytest.fixture(scope="module")
+def yamaha():
+    return YamahaDataset(*synth_corpus(64, 40, 8), mode="train").arrays()
+
+
+@pytest.fixture(scope="module")
+def vgmidi():
+    # get_vgmidi-style return order is (..., arousal, valence, chroma) while
+    # the dataset takes (..., chroma, arousal, valence) — reorder as the
+    # reference trainer does (trainer_gmm.py:85-87)
+    data, rhythm, note, arousal, valence, chroma = synth_vgmidi(64, 40, 8)
+    return VGMIDIDataset(data, rhythm, note, chroma, arousal, valence,
+                         mode="train").arrays()
+
+
+def test_vanilla_loss_decreases(yamaha):
+    tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
+    m1 = tr.run_epoch(yamaha, seed=1)
+    m2 = tr.run_epoch(yamaha, seed=2)
+    assert m2["loss"] < m1["loss"]
+    # 80% train split of 64 = 51 samples -> 6 full batches of 8, 2 epochs
+    assert int(tr.state.step) == 12
+
+
+@pytest.mark.parametrize("init_fn,loss_fn", [
+    (models.init_reg_vae, glsr_loss),
+    (models.init_cvae, cvae_loss),
+    (models.init_fader, fader_loss),
+    (models.init_single_vae, singlevae_loss),
+])
+def test_objectives_step(yamaha, init_fn, loss_fn):
+    tr = Trainer(CFG, init_fn, {"default": loss_fn})
+    metrics = tr.run_epoch(yamaha, seed=0)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_gmm_dual_corpus(yamaha, vgmidi):
+    tr = Trainer(CFG, models.init_reg_gmvae, {
+        "default": gmm_loss,
+        "supervised": functools.partial(gmm_loss, is_supervised=True),
+    })
+    sup = tr.run_epoch(vgmidi, variant="supervised", seed=0)
+    unsup = tr.run_epoch(yamaha, variant="default", seed=0)
+    assert np.isfinite(sup["loss"]) and np.isfinite(unsup["loss"])
+    assert sup["clf"] > 0.0           # supervised branch has the CE term
+    assert unsup["kld_class"] != 0.0  # unsupervised branch has the class KL
+
+
+def test_gradients_finite(yamaha):
+    tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
+    batch = {k: v[:8] for k, v in yamaha.items()}
+
+    def lossf(params):
+        return vanilla_loss(params, jax.random.PRNGKey(0), batch,
+                            jnp.asarray(0), CFG)[0]
+
+    grads = jax.grad(lossf)(tr.params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # unused-by-forward layers (parity-only) must get zero grads
+    g_cr = np.asarray(grads["c_r"]["w"])
+    assert np.allclose(g_cr, 0.0)
+
+
+def test_frozen_logvar_lookup_not_updated(yamaha):
+    tr = Trainer(CFG, models.init_reg_gmvae, {"default": gmm_loss})
+    before = np.asarray(tr.params["logvar_r_lookup"]).copy()
+    tr.run_epoch(yamaha, seed=0)
+    after = np.asarray(tr.params["logvar_r_lookup"])
+    np.testing.assert_array_equal(before, after)
