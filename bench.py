@@ -1,0 +1,96 @@
+"""Benchmark driver: GM-VAE training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The north-star metric (BASELINE.md) is sequences/sec/chip on GM-VAE
+training. `vs_baseline` is the speedup over the measured PyTorch baseline
+(the reference publishes no numbers and is CUDA-only, so an equivalent
+eager-PyTorch GM-VAE step is measured on this machine's CPU —
+benchmarks/torch_baseline.py — and cached in benchmarks/baseline_cache.json).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "baseline_cache.json")
+
+
+def measure_jax(batch_size: int, seq_len: int, iters: int, dtype: str):
+    import jax
+    # persistent compilation cache: repeated bench runs skip the (slow,
+    # tunneled) XLA compile entirely
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu.data import YamahaDataset
+    from music_fader_nets_tpu.data.synthetic import synth_corpus
+    from music_fader_nets_tpu.models import init_reg_gmvae
+    from music_fader_nets_tpu.train import Trainer
+    from music_fader_nets_tpu.train.objectives import gmm_loss
+
+    cfg = ModelConfig(num_clusters=2, batch_size=batch_size, seq_len=seq_len,
+                      dtype=dtype)
+    yam = YamahaDataset(*synth_corpus(max(4 * batch_size, 512), seq_len, 16),
+                        mode="train")
+    tr = Trainer(cfg, init_reg_gmvae, {"default": gmm_loss})
+    step_t = tr.steady_state_step_time(yam.arrays(), iters=iters)
+    return batch_size / step_t, step_t
+
+
+def measure_torch_baseline(batch_size: int, seq_len: int, refresh: bool):
+    key = f"gmvae_b{batch_size}_t{seq_len}"
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    if key in cache and not refresh:
+        return cache[key]
+    from benchmarks.torch_baseline import train_step_time
+    t = train_step_time(batch_size=batch_size, seq_len=seq_len, iters=3)
+    cache[key] = batch_size / t
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    return cache[key]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--seq-len", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--refresh-baseline", action="store_true")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    seqs_per_sec, step_t = measure_jax(args.batch_size, args.seq_len,
+                                       args.iters, args.dtype)
+    if args.skip_baseline:
+        baseline = None
+    else:
+        baseline = measure_torch_baseline(args.batch_size, args.seq_len,
+                                          args.refresh_baseline)
+
+    result = {
+        "metric": "gmvae_train_seqs_per_sec_per_chip",
+        "value": round(seqs_per_sec, 1),
+        "unit": "seq/s",
+        "vs_baseline": round(seqs_per_sec / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+    print(f"# step={step_t * 1e3:.2f}ms B={args.batch_size} T={args.seq_len} "
+          f"dtype={args.dtype}; torch-cpu baseline="
+          f"{baseline and round(baseline, 1)} seq/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,11 +20,13 @@ import jax.numpy as jnp
 
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
+    encode_streams_fused,
     encoder_stream_apply,
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
     sub_decoder_apply,
+    sub_decoder_pair_apply,
 )
 from music_fader_nets_tpu.models.vae import (
     _enc_view,
@@ -108,10 +110,9 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     log_logit_n, qy_x_n = approx_qy_x(z_n, params["mu_n_lookup"],
                                       params["logvar_n_lookup"])
 
-    r_out = sub_decoder_apply(_sub_view(params, "r"), r_oh, z_r,
-                              cfg.faithful_subdecoder_softmax_axis)
-    n_out = sub_decoder_apply(_sub_view(params, "n"), n_oh, z_n,
-                              cfg.faithful_subdecoder_softmax_axis)
+    r_out, n_out = sub_decoder_pair_apply(
+        _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
+        cfg.faithful_subdecoder_softmax_axis)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     if train:
@@ -156,7 +157,7 @@ def init_single_gmvae(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
 def single_gmvae_forward(params, rng, x_oh, cfg: ModelConfig,
                          train: bool = True) -> Dict:
     view = {"gru": params["gru"], "mu": params["mu"], "var": params["var"]}
-    mu, std = encoder_stream_apply(view, x_oh)
+    mu, std = encode_streams_fused([view], x_oh)[0]
     z = reparameterize(rng, mu, std)
     log_logit, qy_x = approx_qy_x(z, params["mu_lookup"], params["logvar_lookup"])
     if train:

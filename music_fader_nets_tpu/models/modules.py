@@ -33,6 +33,8 @@ from music_fader_nets_tpu.ops.gru import (
     gru_scan,
     linear_apply,
     linear_init,
+    multi_gru_final_states,
+    stacked_gru_scan,
 )
 
 # ---------------------------------------------------------------------------
@@ -57,6 +59,28 @@ def encoder_stream_apply(p, x_oh: jax.Array) -> Tuple[jax.Array, jax.Array]:
     mu = linear_apply(p["mu"], h)
     std = jnp.exp(linear_apply(p["var"], h))
     return mu, std
+
+
+def encode_streams_fused(views: list, x_oh: jax.Array):
+    """All encoder streams' bi-GRU directions in ONE fused scan.
+
+    Separate `lax.scan`s run sequentially under XLA, so S bidirectional
+    encoders over the same input would cost 2*S*T sequential matmuls; fusing
+    them costs T sequential steps of one batched (2S,B,H)@(2S,H,3H)
+    contraction. Returns a list of (mu, stddev) per stream — identical
+    numerics to `encoder_stream_apply` per stream.
+    """
+    params, reverse = [], []
+    for v in views:
+        params += [v["gru"]["fwd"], v["gru"]["bwd"]]
+        reverse += [False, True]
+    finals = multi_gru_final_states(params, x_oh, reverse)   # (2S, B, H)
+    out = []
+    for i, v in enumerate(views):
+        h = jnp.concatenate([finals[2 * i], finals[2 * i + 1]], axis=-1)
+        out.append((linear_apply(v["mu"], h),
+                    jnp.exp(linear_apply(v["var"], h))))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +115,32 @@ def sub_decoder_apply(p, track_oh: jax.Array, z: jax.Array,
     logits = linear_apply(p["out"], outs)    # (B, T, C)
     axis = 1 if faithful_softmax_axis else -1
     return jax.nn.log_softmax(logits, axis=axis)
+
+
+def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
+                           faithful_softmax_axis: bool = True):
+    """Both attribute sub-decoders in one fused scan (their recurrences are
+    independent and same-length; only the hoisted input projections and
+    output heads differ). Numerics identical to two `sub_decoder_apply`s."""
+    B, T, _ = r_oh.shape
+
+    def pre_of(p, track_oh, z):
+        z_rep = jnp.broadcast_to(z[:, None, :], (B, T, z.shape[-1]))
+        inputs = jnp.concatenate([track_oh, z_rep], axis=-1)
+        pre = inputs @ p["gru"]["w_ih"] + p["gru"]["b_ih"]   # (B, T, 3H)
+        return jnp.swapaxes(pre, 0, 1)                        # (T, B, 3H)
+
+    pre = jnp.stack([pre_of(p_r, r_oh, z_r), pre_of(p_n, n_oh, z_n)])
+    w_hh = jnp.stack([p_r["gru"]["w_hh"], p_n["gru"]["w_hh"]])
+    b_hh = jnp.stack([p_r["gru"]["b_hh"], p_n["gru"]["b_hh"]])
+    h0 = jnp.stack([linear_apply(p_r["init"], z_r),
+                    linear_apply(p_n["init"], z_n)])
+    outs, _ = stacked_gru_scan(pre, w_hh, b_hh, h0)           # (2, T, B, H)
+    axis = 1 if faithful_softmax_axis else -1
+    r_logits = linear_apply(p_r["out"], jnp.swapaxes(outs[0], 0, 1))
+    n_logits = linear_apply(p_n["out"], jnp.swapaxes(outs[1], 0, 1))
+    return (jax.nn.log_softmax(r_logits, axis=axis),
+            jax.nn.log_softmax(n_logits, axis=axis))
 
 
 # ---------------------------------------------------------------------------
@@ -139,8 +189,16 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
     SURVEY.md §2.4). The start token is one-hot at the LAST vocab index
     (model_v2.py:119-120 `out[:, -1] = 1`).
 
-    The entire input projection — token part AND z part — is hoisted out of
-    the scan into one batched matmul.
+    TPU structure: because teacher forcing makes layer 1's inputs known in
+    advance, the two GRU layers decouple into two CONSECUTIVE scans instead
+    of one scan with three chained matmuls per step:
+      1. hoist the whole input projection (token AND z parts) into one MXU
+         matmul, scan layer 1 (one (B,H)@(H,3H) per step),
+      2. hoist layer 2's input projection of the full h1 sequence into one
+         (T*B,H)@(H,3H) matmul, scan layer 2,
+      3. one (T*B,H)@(H,V) matmul for all logits + log_softmax.
+    The reference's i==0 special case (layer 2's initial hidden = layer 1's
+    first new state, model_v2.py:130-132) becomes h2_0 = h1_seq[0].
     """
     B, T, V = x_oh.shape
     w_tok, w_z = _split_w_ih(p, V)
@@ -150,18 +208,25 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
     pre = inputs @ w_tok + pre_z[:, None, :]                          # (B, T, 3H)
     pre = jnp.swapaxes(pre, 0, 1)                                     # (T, B, 3H)
 
-    h1 = linear_apply(p["linear_init_global"], z)
-    h2 = jnp.zeros_like(h1)
+    h1_0 = linear_apply(p["linear_init_global"], z)
 
-    def body(carry, inp):
-        h1, h2 = carry
-        t, pre_t = inp
-        h1, h2, logp = _decoder_step(p, pre_t, h1, h2, t == 0)
-        return (h1, h2), logp
+    def body1(h, pre_t):
+        h = gru_cell_from_pre(p["grucell_g"], pre_t, h)
+        return h, h
 
-    ts = jnp.arange(T)
-    _, logps = jax.lax.scan(body, (h1, h2), (ts, pre))
-    return jnp.swapaxes(logps, 0, 1)                                  # (B, T, V)
+    _, h1_seq = jax.lax.scan(body1, h1_0, pre)                        # (T, B, H)
+
+    cell2 = p["grucell_g_2"]
+    pre2 = h1_seq @ cell2["w_ih"] + cell2["b_ih"]                     # (T, B, 3H)
+
+    def body2(h, pre_t):
+        h = gru_cell_from_pre(cell2, pre_t, h)
+        return h, h
+
+    _, h2_seq = jax.lax.scan(body2, h1_seq[0], pre2)                  # (T, B, H)
+
+    logits = linear_apply(p["linear_out_g"], jnp.swapaxes(h2_seq, 0, 1))
+    return jax.nn.log_softmax(logits, axis=-1)                        # (B, T, V)
 
 
 def global_decoder_greedy(p, z: jax.Array, steps: int) -> jax.Array:

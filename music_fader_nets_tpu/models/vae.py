@@ -20,11 +20,13 @@ import jax.numpy as jnp
 
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
+    encode_streams_fused,
     encoder_stream_apply,
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
     sub_decoder_apply,
+    sub_decoder_pair_apply,
 )
 from music_fader_nets_tpu.ops.gru import (
     bigru_init,
@@ -100,9 +102,10 @@ def init_reg_vae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
 
 def reg_vae_encode(params, x_oh) -> Tuple[Tuple[jax.Array, jax.Array],
                                           Tuple[jax.Array, jax.Array]]:
-    """Returns ((mu_r, std_r), (mu_n, std_n)). reference model_v2.py:81-97."""
-    mu_r, std_r = encoder_stream_apply(_enc_view(params, "r"), x_oh)
-    mu_n, std_n = encoder_stream_apply(_enc_view(params, "n"), x_oh)
+    """Returns ((mu_r, std_r), (mu_n, std_n)). reference model_v2.py:81-97.
+    Both streams' bi-GRU directions run in one fused scan."""
+    (mu_r, std_r), (mu_n, std_n) = encode_streams_fused(
+        [_enc_view(params, "r"), _enc_view(params, "n")], x_oh)
     return (mu_r, std_r), (mu_n, std_n)
 
 
@@ -124,10 +127,9 @@ def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     z_r = reparameterize(rng_r, mu_r, std_r)
     z_n = reparameterize(rng_n, mu_n, std_n)
 
-    r_out = sub_decoder_apply(_sub_view(params, "r"), r_oh, z_r,
-                              cfg.faithful_subdecoder_softmax_axis)
-    n_out = sub_decoder_apply(_sub_view(params, "n"), n_oh, z_n,
-                              cfg.faithful_subdecoder_softmax_axis)
+    r_out, n_out = sub_decoder_pair_apply(
+        _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
+        cfg.faithful_subdecoder_softmax_axis)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     if train:
@@ -164,7 +166,7 @@ def init_single_vae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
 
 def single_vae_encode(params, x_oh):
     view = {"gru": params["gru"], "mu": params["mu"], "var": params["var"]}
-    return encoder_stream_apply(view, x_oh)
+    return encode_streams_fused([view], x_oh)[0]
 
 
 def single_vae_forward(params, rng, x_oh, chroma, cfg: ModelConfig,
@@ -214,7 +216,7 @@ def cvae_encode(params, x_oh, r_density, n_density):
     cond_rep = jnp.broadcast_to(cond[:, None, :], (B, T, 2)).astype(x_oh.dtype)
     x_in = jnp.concatenate([x_oh, cond_rep], axis=-1)
     view = {"gru": params["gru_e"], "mu": params["mu"], "var": params["var"]}
-    return encoder_stream_apply(view, x_in)
+    return encode_streams_fused([view], x_in)[0]
 
 
 def cvae_forward(params, rng, x_oh, chroma, r_density, n_density,
@@ -259,7 +261,7 @@ def init_fader(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
 
 def fader_encode(params, x_oh):
     view = {"gru": params["gru_e"], "mu": params["mu"], "var": params["var"]}
-    return encoder_stream_apply(view, x_oh)
+    return encode_streams_fused([view], x_oh)[0]
 
 
 def fader_forward(params, rng, x_oh, chroma, r_density, n_density,

@@ -135,6 +135,60 @@ def gru_scan(
     return jnp.swapaxes(outs, 0, 1), h_final
 
 
+def stacked_gru_scan(pre: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
+                     h0: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Run L independent GRUs of equal length in ONE scan.
+
+    TPU rationale: XLA executes separate `lax.scan`s sequentially, so L
+    independent recurrences cost L*T sequential small matmuls. Stacking them
+    makes each scan step a single batched `(L,B,H)@(L,H,3H)` contraction —
+    T sequential steps total, each with L x the MXU work.
+
+    pre:  (L, T, B, 3H) hoisted input projections (+ b_ih), already
+          time-reversed for any backward direction.
+    w_hh: (L, H, 3H); b_hh: (L, 3H); h0: (L, B, H).
+    Returns (outputs (L, T, B, H), final hidden (L, B, H)).
+    """
+    L, T, B, G = pre.shape
+    H = h0.shape[-1]
+
+    def body(h, pre_t):
+        pre_h = jnp.einsum("lbh,lhg->lbg", h, w_hh) + b_hh[:, None, :]
+        h_new = _gates(pre_t, pre_h, h, H)
+        return h_new, h_new
+
+    h_final, outs = jax.lax.scan(body, h0, jnp.swapaxes(pre, 0, 1))
+    return jnp.swapaxes(outs, 0, 1), h_final
+
+
+def multi_gru_final_states(params: list, x: jax.Array,
+                           reverse: list) -> jax.Array:
+    """Final hidden states of L same-shaped GRUs over the SAME input
+    sequence, fused into one scan. Used to run all bi-encoder directions
+    (e.g. rhythm-fwd, rhythm-bwd, note-fwd, note-bwd) together.
+
+    params: list of L GRU param dicts (same in_dim/hidden).
+    reverse: list of L bools; True = consume x right-to-left.
+    Returns (L, B, H) final states (for reversed directions this is the
+    state after consuming the whole sequence, i.e. the torch `h_n` entry).
+    """
+    B, T, _ = x.shape
+    H = params[0]["w_hh"].shape[0]
+    w_ih = jnp.stack([p["w_ih"] for p in params])       # (L, I, 3H)
+    b_ih = jnp.stack([p["b_ih"] for p in params])
+    w_hh = jnp.stack([p["w_hh"] for p in params])
+    b_hh = jnp.stack([p["b_hh"] for p in params])
+    # One big MXU matmul for every direction's full-sequence input proj.
+    # Reversed directions consume the time-flipped INPUT (small) rather than
+    # flipping the (L,T,B,3H) projection afterwards — avoids materializing a
+    # second copy of the large `pre` tensor in HBM.
+    x_dir = jnp.stack([jnp.flip(x, axis=1) if r else x for r in reverse])
+    pre = jnp.einsum("lbti,lig->ltbg", x_dir, w_ih) + b_ih[:, None, None, :]
+    h0 = jnp.zeros((len(params), B, H), x.dtype)
+    _, h_final = stacked_gru_scan(pre, w_hh, b_hh, h0)
+    return h_final
+
+
 def bigru_final_state(p_fwd: dict, p_bwd: dict, x: jax.Array) -> jax.Array:
     """Bidirectional GRU, returning concat of final states (B, 2H).
 

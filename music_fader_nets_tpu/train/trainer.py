@@ -65,10 +65,12 @@ class Trainer:
                 jax.device_put(state.step, mesh_lib.replicated(mesh)))
         self.state = state
 
+        self._loss_fns = dict(loss_fns)
         self._train_steps = {
             name: self._build_train_step(fn) for name, fn in loss_fns.items()}
         self._eval_steps = {
             name: self._build_eval_step(fn) for name, fn in loss_fns.items()}
+        self._epoch_fns = {}
 
     # ------------------------------------------------------------------
 
@@ -102,6 +104,40 @@ class Trainer:
 
         return eval_step
 
+    def _build_epoch_fn(self, loss_fn, train: bool):
+        """Whole-epoch program: `lax.scan` over stacked batches inside ONE
+        jit. On a tunneled/remote TPU this removes every per-step dispatch
+        and host sync — the device runs the full epoch back-to-back and a
+        single transfer returns the averaged metrics."""
+        cfg = self.cfg
+        optimizer = self.optimizer
+
+        # donate state only when it is consumed and returned (training);
+        # eval returns the state untouched and must not invalidate it
+        @functools.partial(jax.jit, donate_argnums=(0,) if train else ())
+        def epoch_fn(state: TrainState, batches, rng):
+            def body(state, batch):
+                rng_step = jax.random.fold_in(rng, state.step)
+
+                def lossf(params):
+                    return loss_fn(params, rng_step, batch, state.step, cfg)
+
+                if train:
+                    (loss, metrics), grads = jax.value_and_grad(
+                        lossf, has_aux=True)(state.params)
+                    updates, opt_state = optimizer.update(
+                        grads, state.opt_state, state.params)
+                    params = optax.apply_updates(state.params, updates)
+                    return TrainState(params, opt_state,
+                                      state.step + 1), metrics
+                _, metrics = lossf(state.params)
+                return state, metrics
+
+            state, metrics = jax.lax.scan(body, state, batches)
+            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+        return epoch_fn
+
     # ------------------------------------------------------------------
 
     def _place(self, batch):
@@ -109,13 +145,53 @@ class Trainer:
             return mesh_lib.shard_batch(batch, self.mesh)
         return batch
 
+    def _stack_epoch(self, arrays, bs, shuffle, seed):
+        """(n_batches, B, ...) stacked epoch arrays (host-side gather)."""
+        n = len(next(iter(arrays.values())))
+        idx = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        nb = n // bs
+        sel = idx[: nb * bs]
+        return {k: v[sel].reshape(nb, bs, *v.shape[1:])
+                for k, v in arrays.items()}, nb
+
     def run_epoch(self, arrays, variant: str = "default", train: bool = True,
                   shuffle: bool = True, seed: Optional[int] = None,
-                  batch_size: Optional[int] = None) -> Dict[str, float]:
-        """One pass over `arrays`; returns per-batch-averaged metrics."""
+                  batch_size: Optional[int] = None,
+                  compiled: bool = True) -> Dict[str, float]:
+        """One pass over `arrays`; returns per-batch-averaged metrics.
+
+        compiled=True runs the whole epoch as one jitted `lax.scan` over the
+        stacked batches (single dispatch, single host transfer) — the fast
+        path on tunneled TPUs. compiled=False streams per-batch jitted steps
+        (use when the epoch does not fit on device).
+        """
         bs = batch_size or self.cfg.batch_size
+        if compiled:
+            stacked, nb = self._stack_epoch(arrays, bs, shuffle, seed)
+            if nb == 0:
+                return {}
+            key = (variant, train, nb, bs)
+            if key not in self._epoch_fns:
+                self._epoch_fns[key] = self._build_epoch_fn(
+                    self._loss_fns[variant], train)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
+                stacked = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sh), stacked)
+            rng = jax.random.fold_in(self.base_rng, self._host_step)
+            self._host_step += nb
+            if train:
+                self.state, metrics = self._epoch_fns[key](
+                    self.state, stacked, rng)
+            else:
+                _, metrics = self._epoch_fns[key](self.state, stacked, rng)
+            return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
         step_fn = (self._train_steps if train else self._eval_steps)[variant]
-        totals: Dict[str, float] = {}
+        totals = None
         n = 0
         for batch in batch_iterator(arrays, bs, shuffle=shuffle, seed=seed):
             # host-side step counter for the RNG stream: avoids a device
@@ -127,11 +203,14 @@ class Trainer:
                 self.state, metrics = step_fn(self.state, batch, rng)
             else:
                 metrics = step_fn(self.state, batch, rng)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            # accumulate ON DEVICE; one transfer at epoch end
+            totals = metrics if totals is None else jax.tree_util.tree_map(
+                jnp.add, totals, metrics)
             n += 1
-        return {k: v / max(n, 1) for k, v in totals.items()}
+        if totals is None:
+            return {}
+        totals = jax.device_get(totals)
+        return {k: float(v) / n for k, v in totals.items()}
 
     def fit(self, train_arrays, val_arrays=None, n_epochs: Optional[int] = None,
             log_fn: Callable[[str], None] = print,
@@ -160,21 +239,26 @@ class Trainer:
         return self.state.params
 
     def steady_state_step_time(self, arrays, variant: str = "default",
-                               warmup: int = 2, iters: int = 10,
+                               warmup: int = 3, iters: int = 20,
                                batch_size: Optional[int] = None) -> float:
-        """Median seconds/step after compilation — benchmarking helper."""
+        """Amortized seconds/step after compilation.
+
+        NB: on the tunneled TPU platform here, `block_until_ready` returns
+        before execution finishes; the only trustworthy sync is a host read
+        of a value that depends on the computation. Steps are chained
+        (param data dependency) and a single scalar is fetched at the end,
+        so the measurement reflects device throughput, not tunnel latency.
+        """
         bs = batch_size or self.cfg.batch_size
-        it = batch_iterator(arrays, bs, shuffle=False)
-        batch = self._place(next(it))
+        batches = [self._place(b) for b in
+                   batch_iterator(arrays, bs, shuffle=False)][:8]
         step_fn = self._train_steps[variant]
         rng = self.base_rng
-        for _ in range(warmup):
-            self.state, m = step_fn(self.state, batch, rng)
-        jax.block_until_ready(m)
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            self.state, m = step_fn(self.state, batch, rng)
-            jax.block_until_ready(m)
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
+        for i in range(warmup):
+            self.state, m = step_fn(self.state, batches[i % len(batches)], rng)
+        float(m["loss"])                         # real sync
+        t0 = time.perf_counter()
+        for i in range(iters):
+            self.state, m = step_fn(self.state, batches[i % len(batches)], rng)
+        float(m["loss"])                         # real sync
+        return (time.perf_counter() - t0) / iters
