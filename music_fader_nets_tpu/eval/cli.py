@@ -1,0 +1,134 @@
+"""Shared CLI for the controllability evaluation entry points
+(the reference's `test_*_v2.py` scripts, README.md:38-40)."""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from music_fader_nets_tpu import models
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu.eval.controllability import (
+    ConditionControllabilityEvaluator,
+    ControllabilityEvaluator,
+    SingleVAEControllabilityEvaluator,
+    latent_stats,
+)
+from music_fader_nets_tpu.ops.sampling import reparameterize
+from music_fader_nets_tpu.train.cli import (
+    MODEL_REGISTRY, build_argparser, config_from_args, load_yamaha,
+)
+from music_fader_nets_tpu.utils.checkpoint import (
+    load_pt_checkpoint, restore_checkpoint,
+)
+
+# Eval workload sizes per model family (reference test_vanilla_v2.py:154-155,
+# test_gmm_v2.py:203-204, test_cvae_v2.py:316-326)
+WORKLOADS = {
+    "vanilla": (2, 100), "glsr": (2, 100),
+    "gmm": (2, 20), "singlevae": (2, 20),
+    "cvae": (10, 100), "fader": (10, 100),
+}
+
+# Yamaha dataset std normalizers the reference hard-codes for the
+# condition-sweep evaluators (test_cvae_v2.py:120-121)
+CVAE_R_STD = 0.16162585
+CVAE_N_STD = 0.8861338
+
+
+def _load_params(kind: str, cfg: ModelConfig, args):
+    spec = MODEL_REGISTRY[kind]
+    if args.from_pt:
+        return load_pt_checkpoint(args.from_pt)
+    ckpt_dir = os.path.join(args.save_dir, spec["name"])
+    template = spec["init"](jax.random.PRNGKey(args.seed), cfg)
+    if os.path.isdir(ckpt_dir):
+        print(f"Loading {ckpt_dir}")
+        return restore_checkpoint(ckpt_dir, template)
+    print(f"WARNING: no checkpoint at {ckpt_dir}; evaluating random init")
+    return template
+
+
+def run_evaluation(kind: str, description: str, argv=None,
+                   epochs: Optional[int] = None,
+                   num_of_samples: Optional[int] = None) -> None:
+    ap = build_argparser(description)
+    ap.add_argument("--samples", type=int, default=None,
+                    help="samples per eval epoch")
+    ap.add_argument("--eval-epochs", type=int, default=None)
+    ap.add_argument("--decode-steps", type=int, default=100)
+    ap.add_argument("--is_cvae", action="store_true",
+                    help="(fader entry only) evaluate the plain CVAE instead "
+                         "- mirrors the reference's --is_cvae flag")
+    args = ap.parse_args(argv)
+    if kind == "fader" and args.is_cvae:
+        kind = "cvae"
+    cfg = config_from_args(kind, args)
+    params = _load_params(kind, cfg, args)
+    yam = load_yamaha(args, cfg)
+    ep, ns = WORKLOADS[kind]
+    ep = args.eval_epochs or epochs or ep
+    ns = args.samples or num_of_samples or ns
+
+    if kind in ("vanilla", "glsr", "gmm"):
+        encode = (models.reg_gmvae_encode if kind == "gmm"
+                  else models.reg_vae_encode)
+        decode = (models.reg_gmvae_global_decode if kind == "gmm"
+                  else models.reg_vae_global_decode)
+
+        def encode_batched(batch, rng):
+            x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
+            (mu_r, std_r), (mu_n, std_n) = encode(params, x_oh)
+            kr, kn = jax.random.split(rng)
+            return (reparameterize(kr, mu_r, std_r),
+                    reparameterize(kn, mu_n, std_n))
+
+        stats = latent_stats(encode_batched, yam["train"].arrays(), cfg)
+        print("latent stats:", stats)
+        for target, lo, hi in (("rhythm", stats["z_r_min"], stats["z_r_max"]),
+                               ("note", stats["z_n_min"], stats["z_n_max"])):
+            print(f"=== {target} fader ===")
+            ev = ControllabilityEvaluator(
+                params, cfg, encode, decode, target=target, epochs=ep,
+                num_of_samples=ns, decode_steps=args.decode_steps,
+                seed=args.seed)
+            ev.evaluate(yam["test"].arrays(), lo, hi,
+                        stats["r_std"], stats["n_std"])
+
+    elif kind == "singlevae":
+        def encode_batched(batch, rng):
+            x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
+            mu, std = models.single_vae_encode(params, x_oh)
+            z = reparameterize(rng, mu, std)
+            return z, z[:, 1:]          # dims 0/1 of the single latent
+
+        stats = latent_stats(encode_batched, yam["train"].arrays(), cfg)
+        print("latent stats:", stats)
+        for target, lo, hi in (("rhythm", stats["z_r_min"], stats["z_r_max"]),
+                               ("note", stats["z_n_min"], stats["z_n_max"])):
+            print(f"=== {target} fader ===")
+            ev = SingleVAEControllabilityEvaluator(
+                params, cfg, models.single_vae_encode,
+                models.single_vae_global_decode, target=target, epochs=ep,
+                num_of_samples=ns, decode_steps=args.decode_steps,
+                seed=args.seed)
+            ev.evaluate(yam["test"].arrays(), lo, hi,
+                        stats["r_std"], stats["n_std"])
+
+    else:                                # cvae / fader: condition sweep
+        encode = (models.cvae_encode if kind == "cvae"
+                  else lambda p, x, rd, nd: models.fader_encode(p, x))
+        decode = (models.cvae_global_decode if kind == "cvae"
+                  else models.fader_global_decode)
+        for target in ("rhythm", "note"):
+            print(f"=== {target} fader (condition sweep) ===")
+            ev = ConditionControllabilityEvaluator(
+                params, cfg, encode, decode, target=target, epochs=ep,
+                num_of_samples=ns, decode_steps=args.decode_steps,
+                seed=args.seed)
+            # condition values sweep k/8 in [0, 1) (test_cvae_v2.py:37,74-78)
+            ev.evaluate(yam["test"].arrays(), 0.0, 1.0,
+                        CVAE_R_STD, CVAE_N_STD)

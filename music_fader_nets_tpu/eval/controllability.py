@@ -1,0 +1,258 @@
+"""Controllability evaluation: consistency / restrictiveness / monotonicity
+(paper Table 1; reference test_class.py:73-322).
+
+Metric definitions replicate the reference exactly:
+  * monotonicity  = R^2 of LinearRegression(attribute vs slider value)
+                    (test_class.py:268-272),
+  * consistency   = 1 - avg std across samples at the same slider value,
+                    densities normalized by the dataset std
+                    (test_class.py:170-174, 259-260),
+  * restrictiveness = 1 - avg std of the NON-target attribute across slider
+                    values (test_class.py:174, 265-266),
+reported mean +/- std over `epochs` repetitions.
+
+TPU restructuring (SURVEY.md hard part #4): the reference decodes one
+(sample, slider-value) pair at a time and round-trips each output through a
+MIDI file on disk (test_class.py:125-137). Here ALL samples x 8 slider
+values are decoded in ONE jitted batch, and the token -> notes -> pianoroll
+-> attributes round trip runs in memory (identical attribute semantics, no
+file I/O).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu.ops.sampling import reparameterize
+from music_fader_nets_tpu.tokenizer.pipeline import attributes_from_tokens
+
+EOS = 1
+
+
+def clean_output(logp_or_tokens) -> np.ndarray:
+    """argmax -> strip leading/trailing zeros -> truncate at first EOS
+    (reference test_class.py:44-50)."""
+    arr = np.asarray(logp_or_tokens)
+    tokens = arr if arr.ndim == 1 else np.argmax(arr, axis=-1)
+    tokens = np.trim_zeros(tokens)
+    if EOS in tokens:
+        last = int(np.argwhere(tokens == EOS)[0][0])
+        tokens = np.where(tokens == EOS, 0, tokens)[:last]
+    return tokens
+
+
+def get_classes(rhythm, note) -> Tuple[float, float, int, int]:
+    """Densities + 3-class buckets (reference test_class.py:59-70)."""
+    rhythm = np.asarray(rhythm)
+    r_density = float((rhythm == 1).sum() / len(rhythm))
+    c_r = 0 if r_density < 0.3 else (1 if r_density < 0.5 else 2)
+    note = np.asarray(note)
+    n_density = float(note.sum() / len(note))
+    c_n = 0 if n_density <= 2 else (1 if n_density <= 3.5 else 2)
+    return r_density, n_density, c_r, c_n
+
+
+def _r2(x: np.ndarray, y: np.ndarray) -> float:
+    """R^2 of a 1-D least-squares fit — equals sklearn LinearRegression's
+    `.score` for a single feature."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    vx = x - x.mean()
+    vy = y - y.mean()
+    ss_tot = float((vy * vy).sum())
+    if ss_tot == 0.0:
+        return 0.0          # degenerate target: no variance explained score
+    denom = float((vx * vx).sum())
+    slope = float((vx * vy).sum()) / denom if denom > 0 else 0.0
+    resid = y - (y.mean() + slope * vx)
+    return 1.0 - float((resid * resid).sum()) / ss_tot
+
+
+def latent_stats(encode_batched: Callable, arrays: Dict[str, np.ndarray],
+                 cfg: ModelConfig, batch_size: int = 128,
+                 rng: Optional[jax.Array] = None) -> Dict[str, float]:
+    """Full-corpus encode: z[:,0] ranges per stream + attribute stds — the
+    `run_through`/`train_test_evaluation` pass of the reference eval scripts
+    (test_vanilla_v2.py:20-100)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    z_r0, z_n0 = [], []
+    n = len(arrays["x"])
+    for s in range(0, n - batch_size + 1, batch_size):
+        batch = {k: v[s: s + batch_size] for k, v in arrays.items()}
+        zr, zn = encode_batched(batch, jax.random.fold_in(rng, s))
+        z_r0.append(np.asarray(zr[:, 0]))
+        z_n0.append(np.asarray(zn[:, 0]))
+    z_r0 = np.concatenate(z_r0) if z_r0 else np.zeros(1)
+    z_n0 = np.concatenate(z_n0) if z_n0 else np.zeros(1)
+    return {
+        "z_r_min": float(z_r0.min()), "z_r_max": float(z_r0.max()),
+        "z_n_min": float(z_n0.min()), "z_n_max": float(z_n0.max()),
+        "r_std": float(np.std(arrays["r_density"])),
+        "n_std": float(np.std(arrays["n_density"])),
+    }
+
+
+@dataclasses.dataclass
+class EvalScores:
+    consistency: Tuple[float, float]
+    restrictiveness: Tuple[float, float]
+    monotonicity: Tuple[float, float]
+
+    def report(self) -> str:
+        return ("============================================\n"
+                f"Consistency: {self.consistency[0]} +/- {self.consistency[1]}\n"
+                f"Restrictiveness: {self.restrictiveness[0]} +/- {self.restrictiveness[1]}\n"
+                f"Monotonicity: {self.monotonicity[0]} +/- {self.monotonicity[1]}\n"
+                "============================================")
+
+
+class ControllabilityEvaluator:
+    """Latent-sliding evaluator for the disentangled models (RegVAE, GLSR
+    variant, RegGMVAE) — shifts z_r[:,0] or z_n[:,0]
+    (reference test_class.py:226-322, test_gmm_v2.py:27-50)."""
+
+    def __init__(self, params, cfg: ModelConfig,
+                 encode: Callable,        # (params, x_oh) -> ((mu,std),(mu,std))
+                 decode: Callable,        # (params, z_full, steps) -> logp
+                 target: str = "rhythm",
+                 epochs: int = 2, num_of_samples: int = 20,
+                 decode_steps: int = 100, seed: int = 0,
+                 verbose: bool = True):
+        self.params, self.cfg = params, cfg
+        self.encode, self.decode = encode, decode
+        self.target = target
+        self.epochs, self.num_of_samples = epochs, num_of_samples
+        self.decode_steps = decode_steps
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.verbose = verbose
+        self._decode_jit = jax.jit(
+            lambda p, z: decode(p, z, decode_steps))
+
+    # -- latent construction ------------------------------------------------
+
+    def _z_batch(self, item: Dict[str, np.ndarray], values: np.ndarray,
+                 key) -> jax.Array:
+        """One test item -> 8 z_full rows, target dim set to each value."""
+        x_oh = jax.nn.one_hot(item["x"][None], self.cfg.roll_dims)
+        (mu_r, std_r), (mu_n, std_n) = self.encode(self.params, x_oh)
+        kr, kn = jax.random.split(key)
+        z_r = reparameterize(kr, mu_r, std_r)           # (1, Z)
+        z_n = reparameterize(kn, mu_n, std_n)
+        z_r = jnp.repeat(z_r, len(values), axis=0)
+        z_n = jnp.repeat(z_n, len(values), axis=0)
+        vals = jnp.asarray(values, z_r.dtype)
+        if self.target == "rhythm":
+            z_r = z_r.at[:, 0].set(vals)
+        else:
+            z_n = z_n.at[:, 0].set(vals)
+        c = jnp.repeat(jnp.asarray(item["c"])[None], len(values), axis=0)
+        return jnp.concatenate([z_r, z_n, c.astype(z_r.dtype)], axis=-1)
+
+    # -- main loop ----------------------------------------------------------
+
+    def evaluate(self, arrays: Dict[str, np.ndarray], min_val: float,
+                 max_val: float, r_std: float, n_std: float) -> EvalScores:
+        c_lst, r_lst, m_lst = [], [], []
+        n_items = len(arrays["x"])
+        gap = (max_val - min_val) / 8
+        values = np.array([min_val + k * gap for k in range(8)])
+
+        for _ in range(self.epochs):
+            r_all, n_all, mono = [], [], []
+            attempts = 0
+            while len(mono) < self.num_of_samples and \
+                    attempts < 4 * self.num_of_samples:
+                attempts += 1
+                idx = int(self.rng.integers(0, n_items))
+                item = {k: v[idx] for k, v in arrays.items()}
+                self.key, sub = jax.random.split(self.key)
+                z_full = self._z_batch(item, values, sub)
+                logps = self._decode_jit(self.params, z_full)
+                tokens = np.argmax(np.asarray(logps), axis=-1)   # (8, steps)
+
+                r_row, n_row = [], []
+                for k in range(len(values)):
+                    res = attributes_from_tokens(clean_output(tokens[k]))
+                    if res is None:
+                        break
+                    rhythm, note = res
+                    rd, nd, _, _ = get_classes(rhythm, note)
+                    r_row.append(rd)
+                    n_row.append(nd)
+                if len(r_row) < len(values):
+                    continue                       # discard, like the reference
+                r_all.append(r_row)
+                n_all.append(n_row)
+                tgt = r_row if self.target == "rhythm" else n_row
+                mono.append(_r2(values, np.array(tgt)))
+
+            r_all = np.array(r_all) / r_std
+            n_all = np.array(n_all) / n_std
+            if self.target == "rhythm":
+                consistency = 1 - np.average(np.std(r_all, axis=0))
+                restrictiveness = 1 - np.average(np.std(n_all, axis=-1))
+            else:
+                consistency = 1 - np.average(np.std(n_all, axis=0))
+                restrictiveness = 1 - np.average(np.std(r_all, axis=-1))
+            monotonicity = float(np.mean(mono)) if mono else 0.0
+            if self.verbose:
+                print("Generator consistency: ", consistency)
+                print("Generator restrictiveness: ", restrictiveness)
+                print("Generator monotonicity:", monotonicity)
+            c_lst.append(consistency)
+            r_lst.append(restrictiveness)
+            m_lst.append(monotonicity)
+
+        scores = EvalScores(
+            (float(np.mean(c_lst)), float(np.std(c_lst))),
+            (float(np.mean(r_lst)), float(np.std(r_lst))),
+            (float(np.mean(m_lst)), float(np.std(m_lst))))
+        if self.verbose:
+            print(scores.report())
+        return scores
+
+
+class SingleVAEControllabilityEvaluator(ControllabilityEvaluator):
+    """Shifts dim 0 (rhythm) / dim 1 (note) of the single latent
+    (reference test_singlevae_v2.py:195,241)."""
+
+    def _z_batch(self, item, values, key):
+        x_oh = jax.nn.one_hot(item["x"][None], self.cfg.roll_dims)
+        mu, std = self.encode(self.params, x_oh)
+        z = reparameterize(key, mu, std)
+        z = jnp.repeat(z, len(values), axis=0)
+        vals = jnp.asarray(values, z.dtype)
+        dim = 0 if self.target == "rhythm" else 1
+        z = z.at[:, dim].set(vals)
+        c = jnp.repeat(jnp.asarray(item["c"])[None], len(values), axis=0)
+        return jnp.concatenate([z, c.astype(z.dtype)], axis=-1)
+
+
+class ConditionControllabilityEvaluator(ControllabilityEvaluator):
+    """CVAE / FaderNets: sweeps the decoder CONDITION value k/8 instead of a
+    latent dimension (reference test_cvae_v2.py:37,74-78). The dataset stds
+    the reference hard-codes (test_cvae_v2.py:120-121) are the defaults via
+    the caller."""
+
+    def _z_batch(self, item, values, key):
+        x_oh = jax.nn.one_hot(item["x"][None], self.cfg.roll_dims)
+        rd = jnp.asarray([[item["r_density"]]], jnp.float32)
+        nd = jnp.asarray([[item["n_density"]]], jnp.float32)
+        enc = self.encode(self.params, x_oh, rd, nd)
+        mu, std = enc
+        z = reparameterize(key, mu, std)
+        z = jnp.repeat(z, len(values), axis=0)
+        vals = jnp.asarray(values, z.dtype)[:, None]
+        rd_col = jnp.repeat(rd, len(values), axis=0)
+        nd_col = jnp.repeat(nd, len(values), axis=0)
+        if self.target == "rhythm":
+            rd_col = vals
+        else:
+            nd_col = vals
+        return jnp.concatenate([z, rd_col, nd_col], axis=-1)

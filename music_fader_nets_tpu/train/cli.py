@@ -1,0 +1,251 @@
+"""Shared CLI plumbing for the trainer / evaluation entry points.
+
+The reference ships six ~80%-identical trainer scripts and five evaluation
+scripts run as `python trainer*.py` / `python test_*_v2.py`
+(reference README.md:16-23, 38-40). The repo-root scripts here keep that
+public surface; everything they share lives in this module.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from datetime import datetime
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from music_fader_nets_tpu import models
+from music_fader_nets_tpu.config import ModelConfig, load_config
+from music_fader_nets_tpu.data import (
+    VGMIDIDataset, YamahaDataset, get_classic_piano, get_vgmidi,
+)
+from music_fader_nets_tpu.parallel import mesh as mesh_lib
+from music_fader_nets_tpu.train import objectives
+from music_fader_nets_tpu.train.trainer import Trainer, TrainState
+from music_fader_nets_tpu.utils.checkpoint import (
+    load_pt_checkpoint, restore_checkpoint, save_checkpoint,
+)
+
+MODEL_REGISTRY: Dict[str, Dict] = {
+    "vanilla": dict(init=models.init_reg_vae,
+                    losses={"default": objectives.vanilla_loss},
+                    config="configs/model_config_v2.json",
+                    name="music_attr_vae_reg_vanilla"),
+    "glsr": dict(init=models.init_reg_vae,
+                 losses={"default": objectives.glsr_loss},
+                 config="configs/model_config_v2.json",
+                 name="music_attr_vae_reg_glsr"),
+    "gmm": dict(init=models.init_reg_gmvae,
+                losses={"default": objectives.gmm_loss,
+                        "supervised": functools.partial(
+                            objectives.gmm_loss, is_supervised=True)},
+                config="configs/gmm_model_config.json",
+                name="music_attr_vae_reg_gmm"),
+    "cvae": dict(init=models.init_cvae,
+                 losses={"default": objectives.cvae_loss},
+                 config="configs/model_config_v2.json",
+                 name="music_attr_cvae"),
+    "fader": dict(init=models.init_fader,
+                  losses={"default": objectives.fader_loss},
+                  config="configs/model_config_v2.json",
+                  name="music_attr_fader"),
+    "singlevae": dict(init=models.init_single_vae,
+                      losses={"default": objectives.singlevae_loss},
+                      config="configs/model_config_v2.json",
+                      name="music_attr_vae_singlevae"),
+}
+
+
+def build_argparser(description: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--config", default=None, help="JSON config path")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--save-dir", default="params")
+    ap.add_argument("--data-dir", default=None,
+                    help="corpus cache dir (reference data/values_v3 schema)")
+    ap.add_argument("--midi-dirs", nargs="*", default=None,
+                    help="rebuild corpus from these MIDI directories")
+    ap.add_argument("--synthetic-size", type=int, default=2048,
+                    help="synthetic corpus size when no cache/MIDI exists")
+    ap.add_argument("--mesh", default=None,
+                    help="mesh shape as DATAxMODEL, e.g. 4x2 (default: 1 chip)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fixed-quirks", action="store_true",
+                    help="disable faithful replication of reference quirks "
+                         "(negative-beta window, time-axis sub-decoder "
+                         "softmax, GLSR batch-0 bug)")
+    ap.add_argument("--from-pt", default=None,
+                    help="initialize from a reference .pt state_dict")
+    return ap
+
+
+def config_from_args(kind: str, args) -> ModelConfig:
+    spec = MODEL_REGISTRY[kind]
+    path = args.config or (spec["config"]
+                           if os.path.exists(spec["config"]) else None)
+    overrides = {}
+    if args.epochs is not None:
+        overrides["n_epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.fixed_quirks:
+        overrides.update(faithful_negative_beta=False,
+                         faithful_subdecoder_softmax_axis=False,
+                         faithful_glsr_batch0=False)
+    cfg = load_config(path, **overrides)
+    return cfg
+
+
+def load_yamaha(args, cfg: ModelConfig):
+    data = get_classic_piano(cache_dir=args.data_dir,
+                             midi_dirs=args.midi_dirs,
+                             n_synthetic=args.synthetic_size)
+    return {mode: YamahaDataset(*data, mode=mode)
+            for mode in ("train", "val", "test")}
+
+
+def load_vgmidi(args):
+    d, r, n, a, v, c = get_vgmidi()
+    return {mode: VGMIDIDataset(d, r, n, c, a, v, mode=mode)
+            for mode in ("train", "val", "test")}
+
+
+def make_mesh(args):
+    if not args.mesh:
+        return None
+    nd, nm = (int(x) for x in args.mesh.lower().split("x"))
+    return mesh_lib.make_mesh(nd, nm)
+
+
+def make_trainer(kind: str, cfg: ModelConfig, args) -> Trainer:
+    spec = MODEL_REGISTRY[kind]
+    params = None
+    ckpt_dir = os.path.join(args.save_dir, spec["name"])
+    if args.from_pt:
+        params = load_pt_checkpoint(args.from_pt)
+        print(f"Loaded torch checkpoint {args.from_pt}")
+    elif os.path.isdir(ckpt_dir):
+        template = spec["init"](jax.random.PRNGKey(args.seed), cfg)
+        params = restore_checkpoint(ckpt_dir, template)
+        print(f"Loading {ckpt_dir}")
+    else:
+        print(f"Save path: {ckpt_dir}")
+    return Trainer(cfg, spec["init"], spec["losses"], mesh=make_mesh(args),
+                   seed=args.seed, params=params)
+
+
+def checkpoint_fn(kind: str, args) -> Callable[[TrainState, int], None]:
+    spec = MODEL_REGISTRY[kind]
+    os.makedirs(args.save_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.save_dir, spec["name"])
+
+    def save(state: TrainState, epoch: int):
+        print("Saving model...")
+        save_checkpoint(ckpt_dir, state.params)
+
+    return save
+
+
+def save_timestamped(kind: str, args, state: TrainState):
+    spec = MODEL_REGISTRY[kind]
+    stamp = datetime.now().isoformat().replace(":", "-")
+    path = os.path.join(args.save_dir, f"{spec['name']}_{stamp}")
+    save_checkpoint(path, state.params)
+    print(f"Model saved as {path}!")
+
+
+def _forward_for(kind: str, cfg: ModelConfig):
+    """Model-appropriate forward for the reconstruction report."""
+    import jax.numpy as jnp
+
+    def disentangled(fwd_fn):
+        def f(params, rng, batch):
+            x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
+            r_oh = jax.nn.one_hot(batch["r"], cfg.rhythm_dims)
+            n_oh = jax.nn.one_hot(batch["n"], cfg.note_dims)
+            return fwd_fn(params, rng, x_oh, r_oh, n_oh, batch["c"], cfg)
+        return f
+
+    if kind in ("vanilla", "glsr"):
+        return disentangled(models.reg_vae_forward), True
+    if kind == "gmm":
+        return disentangled(models.reg_gmvae_forward), True
+
+    def conditioned(fwd_fn):
+        def f(params, rng, batch):
+            x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
+            rd = batch["r_density"][:, None]
+            nd = batch["n_density"][:, None]
+            return fwd_fn(params, rng, x_oh, batch["c"], rd, nd, cfg)
+        return f
+
+    if kind in ("cvae", "fader"):
+        return conditioned(models.cvae_forward if kind == "cvae"
+                           else models.fader_forward), False
+
+    def single(params, rng, batch):
+        x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
+        return models.single_vae_forward(params, rng, x_oh, batch["c"], cfg)
+
+    return single, False
+
+
+def run_training(kind: str, description: str, dual_corpus: bool = False,
+                 argv=None) -> None:
+    """The shared trainer main(): corpus -> fit (train+val per epoch,
+    checkpoint per epoch + timestamped final) -> evaluation phase
+    (CE/reg/accuracy on train+test), mirroring reference trainer.py:199-380."""
+    from music_fader_nets_tpu.eval.reconstruction import reconstruction_report
+
+    args = build_argparser(description).parse_args(argv)
+    cfg = config_from_args(kind, args)
+    trainer = make_trainer(kind, cfg, args)
+    ck = checkpoint_fn(kind, args)
+    yam = load_yamaha(args, cfg)
+    print("Train / Validation / Test")
+    print(len(yam["train"]), len(yam["val"]), len(yam["test"]))
+
+    if not dual_corpus:
+        trainer.fit(yam["train"].arrays(), yam["val"].arrays(),
+                    n_epochs=cfg.n_epochs, checkpoint_fn=ck)
+    else:
+        vgm = load_vgmidi(args)
+        print("VGMIDI: Train / Validation / Test")
+        print(len(vgm["train"]), len(vgm["val"]), len(vgm["test"]))
+        for epoch in range(1, cfg.n_epochs + 1):
+            print(f"Epoch {epoch} / {cfg.n_epochs}")
+            # supervised VGMIDI phase (batch 32, reference trainer_gmm.py:88)
+            sup = trainer.run_epoch(vgm["train"].arrays(),
+                                    variant="supervised", seed=epoch,
+                                    batch_size=32)
+            sup_val = trainer.run_epoch(vgm["val"].arrays(),
+                                        variant="supervised", train=False,
+                                        batch_size=32, shuffle=False)
+            # unsupervised Yamaha phase
+            uns = trainer.run_epoch(yam["train"].arrays(), seed=epoch)
+            uns_val = trainer.run_epoch(yam["val"].arrays(), train=False,
+                                        shuffle=False)
+            print("vgmidi train - " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(sup.items())))
+            print("vgmidi val   - " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(sup_val.items())))
+            print("yamaha train - " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(uns.items())))
+            print("yamaha val   - " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(uns_val.items())))
+            ck(trainer.state, epoch)
+    save_timestamped(kind, args, trainer.state)
+
+    # evaluation phase (reference trainer.py:280-376)
+    fwd, has_sub = _forward_for(kind, cfg)
+    for split in ("train", "test"):
+        rep = reconstruction_report(trainer.params, fwd,
+                                    yam[split].arrays(), cfg,
+                                    batch_size=min(cfg.batch_size,
+                                                   len(yam[split])),
+                                    has_subdecoders=has_sub)
+        print(f"[{split}] " + " ".join(
+            f"{k}: {v:.4f}" for k, v in sorted(rep.items())))

@@ -168,6 +168,10 @@ class Trainer:
         (use when the epoch does not fit on device).
         """
         bs = batch_size or self.cfg.batch_size
+        n_items = len(next(iter(arrays.values())))
+        if n_items == 0:
+            return {}
+        bs = min(bs, n_items)       # small split: one smaller batch
         if compiled:
             stacked, nb = self._stack_epoch(arrays, bs, shuffle, seed)
             if nb == 0:

@@ -1,0 +1,113 @@
+"""Controllability / reconstruction / transfer harness tests (tiny dims)."""
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu import models
+from music_fader_nets_tpu.data.datasets import YamahaDataset
+from music_fader_nets_tpu.data.synthetic import synth_corpus
+from music_fader_nets_tpu.eval.controllability import (
+    ControllabilityEvaluator, clean_output, get_classes, latent_stats, _r2,
+)
+from music_fader_nets_tpu.eval.reconstruction import reconstruction_report
+from music_fader_nets_tpu.ops.sampling import reparameterize
+from music_fader_nets_tpu.transfer.arousal import (
+    arousal_transfer, compute_shift_vectors, transfer_to_midi,
+)
+
+CFG = ModelConfig(hidden_dims=32, z_dims=8, batch_size=8, seq_len=60,
+                  attr_len=8, eval_decode_steps=40)
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    return YamahaDataset(*synth_corpus(96, 60, 8), mode="train").arrays()
+
+
+def test_clean_output():
+    toks = np.array([0, 0, 5, 7, 9, 1, 3, 0, 0])
+    out = clean_output(toks)
+    np.testing.assert_array_equal(out, [5, 7, 9])
+    # no EOS: just trims zeros
+    np.testing.assert_array_equal(clean_output(np.array([0, 4, 6, 0])), [4, 6])
+
+
+def test_get_classes():
+    r = [1, 1, 0, 2, 2, 0, 0, 0]
+    n = [4, 4, 0, 0, 0, 0, 0, 0]
+    rd, nd, cr, cn = get_classes(r, n)
+    assert abs(rd - 0.25) < 1e-9 and cr == 0
+    assert abs(nd - 1.0) < 1e-9 and cn == 0
+
+
+def test_r2_matches_linregress():
+    x = np.array([0., 1, 2, 3, 4, 5, 6, 7])
+    y = 2 * x + 1 + np.array([0.1, -0.2, 0.05, 0, 0.3, -0.1, 0.2, 0])
+    from sklearn.linear_model import LinearRegression
+    reg = LinearRegression().fit(x[:, None], y[:, None])
+    assert abs(_r2(x, y) - reg.score(x[:, None], y[:, None])) < 1e-9
+
+
+def test_latent_stats(arrays):
+    params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
+
+    def encode_batched(batch, rng):
+        x_oh = jax.nn.one_hot(batch["x"], CFG.roll_dims)
+        (mu_r, std_r), (mu_n, std_n) = models.reg_vae_encode(params, x_oh)
+        kr, kn = jax.random.split(rng)
+        return (reparameterize(kr, mu_r, std_r),
+                reparameterize(kn, mu_n, std_n))
+
+    stats = latent_stats(encode_batched, arrays, CFG, batch_size=16)
+    assert stats["z_r_min"] < stats["z_r_max"]
+    assert stats["r_std"] > 0 and stats["n_std"] > 0
+
+
+def test_controllability_evaluator_runs(arrays):
+    params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
+    ev = ControllabilityEvaluator(
+        params, CFG, models.reg_vae_encode, models.reg_vae_global_decode,
+        target="rhythm", epochs=1, num_of_samples=2, decode_steps=40,
+        verbose=False)
+    scores = ev.evaluate(arrays, min_val=-2.0, max_val=2.0,
+                         r_std=0.16, n_std=0.89)
+    for pair in (scores.consistency, scores.restrictiveness,
+                 scores.monotonicity):
+        assert np.isfinite(pair[0])
+
+
+def test_reconstruction_report(arrays):
+    params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
+
+    def forward(params, rng, batch):
+        x_oh = jax.nn.one_hot(batch["x"], CFG.roll_dims)
+        r_oh = jax.nn.one_hot(batch["r"], CFG.rhythm_dims)
+        n_oh = jax.nn.one_hot(batch["n"], CFG.note_dims)
+        return models.reg_vae_forward(params, rng, x_oh, r_oh, n_oh,
+                                      batch["c"], CFG)
+
+    rep = reconstruction_report(params, forward, arrays, CFG, batch_size=16)
+    assert 0.0 <= rep["acc_x"] <= 1.0
+    assert 0.0 <= rep["acc_r"] <= 1.0
+    assert np.isfinite(rep["CE_X"]) and np.isfinite(rep["l_r"])
+
+
+def test_arousal_transfer(tmp_path, arrays):
+    cfg = ModelConfig(hidden_dims=32, z_dims=8, num_clusters=2)
+    params = models.init_reg_gmvae(jax.random.PRNGKey(0), cfg)
+    shifts = compute_shift_vectors(params)
+    np.testing.assert_allclose(shifts["r_low_to_high"],
+                               -shifts["r_high_to_low"])
+    item = {k: v[0] for k, v in arrays.items()}
+    toks, notes = arousal_transfer(params, cfg, item, "low_to_high",
+                                   lam=2.0, steps=50)
+    assert toks.shape == (50,)
+    # output is in-vocab
+    assert toks.min() >= 0 and toks.max() < 342
+    out = str(tmp_path / "transfer.mid")
+    transfer_to_midi(toks, out)
+    import os
+    assert os.path.getsize(out) > 20
