@@ -42,7 +42,31 @@ def measure_jax(batch_size: int, seq_len: int, iters: int, dtype: str):
                         mode="train")
     tr = Trainer(cfg, init_reg_gmvae, {"default": gmm_loss})
     step_t = tr.steady_state_step_time(yam.arrays(), iters=iters)
-    return batch_size / step_t, step_t
+
+    # secondary north-star: p50 arousal-transfer decode latency (B=1, 300
+    # steps) through the VMEM-resident Pallas kernel
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+    from music_fader_nets_tpu.models.vae import _global_view
+    from music_fader_nets_tpu.ops.pallas_decode import greedy_decode_tokens
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (1, 2 * cfg.z_dims + 24))
+
+    # chain decodes through a data dependency so one host sync amortizes the
+    # tunnel RPC latency and the number reflects device decode time
+    def dec(p, z):
+        toks = greedy_decode_tokens(_global_view(p), z, 300)
+        return toks, z + 1e-9 * toks.sum().astype(z.dtype)
+
+    dec = jax.jit(dec)
+    toks, z = dec(tr.params, z0)
+    _ = int(np.asarray(toks)[0, 0])
+    N = 20
+    t0 = time.perf_counter()
+    for _i in range(N):
+        toks, z = dec(tr.params, z)
+    _ = int(np.asarray(toks)[0, 0])
+    return batch_size / step_t, step_t, (time.perf_counter() - t0) / N
 
 
 def measure_torch_baseline(batch_size: int, seq_len: int, refresh: bool):
@@ -72,8 +96,8 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
-    seqs_per_sec, step_t = measure_jax(args.batch_size, args.seq_len,
-                                       args.iters, args.dtype)
+    seqs_per_sec, step_t, decode_p50 = measure_jax(
+        args.batch_size, args.seq_len, args.iters, args.dtype)
     if args.skip_baseline:
         baseline = None
     else:
@@ -88,7 +112,8 @@ def main():
     }
     print(json.dumps(result))
     print(f"# step={step_t * 1e3:.2f}ms B={args.batch_size} T={args.seq_len} "
-          f"dtype={args.dtype}; torch-cpu baseline="
+          f"dtype={args.dtype}; p50 300-step B=1 decode="
+          f"{decode_p50 * 1e3:.2f}ms (pallas); torch-cpu baseline="
           f"{baseline and round(baseline, 1)} seq/s", file=sys.stderr)
 
 

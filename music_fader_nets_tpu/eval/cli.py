@@ -78,6 +78,8 @@ def run_evaluation(kind: str, description: str, argv=None,
                   else models.reg_vae_encode)
         decode = (models.reg_gmvae_global_decode if kind == "gmm"
                   else models.reg_vae_global_decode)
+        decode_tokens = (models.reg_gmvae_decode_tokens if kind == "gmm"
+                         else models.reg_vae_decode_tokens)
 
         def encode_batched(batch, rng):
             x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
@@ -94,7 +96,7 @@ def run_evaluation(kind: str, description: str, argv=None,
             ev = ControllabilityEvaluator(
                 params, cfg, encode, decode, target=target, epochs=ep,
                 num_of_samples=ns, decode_steps=args.decode_steps,
-                seed=args.seed)
+                seed=args.seed, decode_tokens=decode_tokens)
             ev.evaluate(yam["test"].arrays(), lo, hi,
                         stats["r_std"], stats["n_std"])
 

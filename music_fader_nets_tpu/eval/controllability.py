@@ -21,6 +21,7 @@ file I/O).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -32,6 +33,25 @@ from music_fader_nets_tpu.ops.sampling import reparameterize
 from music_fader_nets_tpu.tokenizer.pipeline import attributes_from_tokens
 
 EOS = 1
+
+# process-wide jit wrapper cache: jax.jit(f) twice yields two wrappers with
+# INDEPENDENT compile caches, so per-evaluator jitting would recompile the
+# same program for every evaluator instance (expensive on a tunneled TPU)
+_JIT_CACHE: dict = {}
+
+
+def _jit_cached(fn, **jit_kwargs):
+    key = (fn, tuple(sorted(jit_kwargs.items())))
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(fn, **jit_kwargs)
+    return _JIT_CACHE[key]
+
+
+@functools.partial(jax.jit, static_argnames=("decode", "steps"))
+def _argmax_decode(params, z, decode, steps):
+    """One module-level jit for all argmax-decode paths; the model's decode
+    fn and step count are static so compiles cache per (decode, steps)."""
+    return jnp.argmax(decode(params, z, steps), axis=-1)
 
 
 def clean_output(logp_or_tokens) -> np.ndarray:
@@ -80,8 +100,10 @@ def latent_stats(encode_batched: Callable, arrays: Dict[str, np.ndarray],
     `run_through`/`train_test_evaluation` pass of the reference eval scripts
     (test_vanilla_v2.py:20-100)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    encode_batched = jax.jit(encode_batched)   # eager scans are RPC storms
     z_r0, z_n0 = [], []
     n = len(arrays["x"])
+    batch_size = min(batch_size, n)
     for s in range(0, n - batch_size + 1, batch_size):
         batch = {k: v[s: s + batch_size] for k, v in arrays.items()}
         zr, zn = encode_batched(batch, jax.random.fold_in(rng, s))
@@ -122,17 +144,29 @@ class ControllabilityEvaluator:
                  target: str = "rhythm",
                  epochs: int = 2, num_of_samples: int = 20,
                  decode_steps: int = 100, seed: int = 0,
-                 verbose: bool = True):
+                 verbose: bool = True,
+                 decode_tokens: Optional[Callable] = None):
+        """decode_tokens: optional (params, z_full, steps) -> int tokens
+        fast path (the Pallas VMEM-resident kernel); defaults to argmax over
+        `decode`'s log-probs."""
         self.params, self.cfg = params, cfg
-        self.encode, self.decode = encode, decode
+        # jit the encoder (cached process-wide): its scans would otherwise
+        # build eagerly, one RPC per op on a tunneled TPU
+        self.encode, self.decode = _jit_cached(encode), decode
         self.target = target
         self.epochs, self.num_of_samples = epochs, num_of_samples
         self.decode_steps = decode_steps
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.verbose = verbose
-        self._decode_jit = jax.jit(
-            lambda p, z: decode(p, z, decode_steps))
+        if decode_tokens is not None:
+            # decode_tokens paths are module-level jits already — wrapping
+            # them again would nest jits and defeat the compile cache
+            self._decode_jit = (
+                lambda p, z: decode_tokens(p, z, decode_steps))
+        else:
+            self._decode_jit = (
+                lambda p, z: _argmax_decode(p, z, decode, decode_steps))
 
     # -- latent construction ------------------------------------------------
 
@@ -173,8 +207,8 @@ class ControllabilityEvaluator:
                 item = {k: v[idx] for k, v in arrays.items()}
                 self.key, sub = jax.random.split(self.key)
                 z_full = self._z_batch(item, values, sub)
-                logps = self._decode_jit(self.params, z_full)
-                tokens = np.argmax(np.asarray(logps), axis=-1)   # (8, steps)
+                tokens = np.asarray(
+                    self._decode_jit(self.params, z_full))       # (8, steps)
 
                 r_row, n_row = [], []
                 for k in range(len(values)):

@@ -96,6 +96,11 @@ def reg_gmvae_global_decode(params, z, steps: int):
     return global_decoder_greedy(_global_view(params), z, steps)
 
 
+def reg_gmvae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
+    from music_fader_nets_tpu.ops.pallas_decode import greedy_decode_tokens
+    return greedy_decode_tokens(_global_view(params), z, steps, use_pallas)
+
+
 def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                       cfg: ModelConfig, train: bool = True) -> Dict:
     """reference gmm_model.py:220-259; returns reconstruction outputs plus the

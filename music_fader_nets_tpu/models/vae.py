@@ -114,6 +114,13 @@ def reg_vae_global_decode(params, z, steps: int):
     return global_decoder_greedy(_global_view(params), z, steps)
 
 
+def reg_vae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
+    """Token-level greedy decode via the VMEM-resident Pallas kernel
+    (ops/pallas_decode.py), falling back to the XLA scan."""
+    from music_fader_nets_tpu.ops.pallas_decode import greedy_decode_tokens
+    return greedy_decode_tokens(_global_view(params), z, steps, use_pallas)
+
+
 def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                     cfg: ModelConfig, train: bool = True) -> Dict:
     """Full training-path forward (reference model_v2.py:145-171).

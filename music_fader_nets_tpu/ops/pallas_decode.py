@@ -1,0 +1,179 @@
+"""Pallas TPU kernel: whole-decode autoregressive greedy sampling.
+
+The serve path (eval slider sweeps, arousal transfer) is a 100-300-step
+greedy decode whose per-step work is three small matmuls. Under a plain XLA
+scan each step's weight tiles stream from HBM; this kernel instead loads ALL
+decoder weights into VMEM once and runs the entire decode loop on-chip:
+
+  VMEM residency (f32, reference dims V=342->384 padded, H=512):
+    w_tok (384,1536) 2.4MB | w_hh1 (512,1536) 3.1MB | w_ih2 3.1MB
+    w_hh2 3.1MB | w_out (512,384) 0.8MB | biases + carries < 1MB
+  => ~13MB, inside the ~16MB/core budget for batches <= 64.
+
+Per step (inside one `jax.lax.fori_loop`, zero HBM traffic):
+  one-hot(token) @ w_tok  -> + pre_z   (precomputed z-projection)
+  GRU gates for layer 1, layer 2 (step-0 quirk: layer 2's previous hidden
+  is layer 1's fresh state, reference model_v2.py:130-132)
+  logits = h2 @ w_out + b_out  (pad lanes biased to -1e30)
+  token' = argmax(logits)      (greedy feedback, model_v2.py:72-79)
+
+Only the int32 token ids are written out — the eval/transfer paths use
+argmax tokens exclusively (test_class.py:44-50), so logits never touch HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _pad_to(x, size, axis, value=0.0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _gru_gates(pre_x, pre_h, h):
+    H = h.shape[-1]
+    xr, xz, xn = pre_x[:, :H], pre_x[:, H:2 * H], pre_x[:, 2 * H:]
+    hr, hz, hn = pre_h[:, :H], pre_h[:, H:2 * H], pre_h[:, 2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def _decode_kernel(steps: int, V: int, Vp: int,
+                   w_tok_ref, w_hh1_ref, b_hh1_ref,
+                   w_ih2_ref, b_ih2_ref, w_hh2_ref, b_hh2_ref,
+                   w_out_ref, b_out_ref,
+                   pre_z_ref, h1_0_ref,
+                   tok_out_ref):
+    B = h1_0_ref.shape[0]
+    H = h1_0_ref.shape[1]
+
+    w_tok = w_tok_ref[:]
+    w_hh1 = w_hh1_ref[:]
+    w_ih2 = w_ih2_ref[:]
+    w_hh2 = w_hh2_ref[:]
+    w_out = w_out_ref[:]
+    pre_z = pre_z_ref[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    start_tok = jnp.full((B,), V - 1, jnp.int32)     # one-hot at LAST real idx
+
+    def body(i, carry):
+        h1, h2, tok = carry
+        onehot = (col == tok[:, None]).astype(w_tok.dtype)
+        pre1 = jnp.dot(onehot, w_tok,
+                       preferred_element_type=jnp.float32) + pre_z
+        pre_h1 = jnp.dot(h1, w_hh1,
+                         preferred_element_type=jnp.float32) + b_hh1_ref[:]
+        h1_new = _gru_gates(pre1, pre_h1, h1)
+
+        h2_prev = jnp.where(i == 0, h1_new, h2)
+        pre2 = jnp.dot(h1_new, w_ih2,
+                       preferred_element_type=jnp.float32) + b_ih2_ref[:]
+        pre_h2 = jnp.dot(h2_prev, w_hh2,
+                         preferred_element_type=jnp.float32) + b_hh2_ref[:]
+        h2_new = _gru_gates(pre2, pre_h2, h2_prev)
+
+        logits = jnp.dot(h2_new, w_out,
+                         preferred_element_type=jnp.float32) + b_out_ref[:]
+        tok_new = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok_out_ref[i, :] = tok_new
+        return h1_new, h2_new, tok_new
+
+    h1 = h1_0_ref[:]
+    h2 = jnp.zeros((B, H), h1.dtype)
+    jax.lax.fori_loop(0, steps, body, (h1, h2, start_tok))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret"))
+def pallas_greedy_decode(gview: Dict, z: jax.Array, steps: int,
+                         interpret: bool = False) -> jax.Array:
+    """Greedy decode via the VMEM-resident kernel.
+
+    gview: the `_global_view` param dict (linear_init_global, grucell_g,
+    grucell_g_2, linear_out_g). z: (B, z_total). Returns int32 tokens
+    (B, steps) — identical to argmax over `global_decoder_greedy` output.
+    """
+    V = gview["linear_out_g"]["w"].shape[-1]
+    Vp = ((V + LANE - 1) // LANE) * LANE
+    H = gview["grucell_g"]["w_hh"].shape[0]
+    B = z.shape[0]
+    dtype = jnp.float32
+
+    w_ih = gview["grucell_g"]["w_ih"].astype(dtype)
+    w_tok = _pad_to(w_ih[:V], Vp, 0)                          # (Vp, 3H)
+    w_z = w_ih[V:]
+    pre_z = (z.astype(dtype) @ w_z
+             + gview["grucell_g"]["b_ih"].astype(dtype))      # (B, 3H)
+    h1_0 = (z.astype(dtype) @ gview["linear_init_global"]["w"].astype(dtype)
+            + gview["linear_init_global"]["b"].astype(dtype))
+
+    w_out = _pad_to(gview["linear_out_g"]["w"].astype(dtype), Vp, 1)
+    # pad lanes can never win the argmax
+    b_out = _pad_to(gview["linear_out_g"]["b"].astype(dtype)[None], Vp, 1,
+                    value=-1e30)
+
+    args = (
+        w_tok,
+        gview["grucell_g"]["w_hh"].astype(dtype),
+        gview["grucell_g"]["b_hh"].astype(dtype)[None],
+        gview["grucell_g_2"]["w_ih"].astype(dtype),
+        gview["grucell_g_2"]["b_ih"].astype(dtype)[None],
+        gview["grucell_g_2"]["w_hh"].astype(dtype),
+        gview["grucell_g_2"]["b_hh"].astype(dtype)[None],
+        w_out,
+        b_out,
+        pre_z,
+        h1_0,
+    )
+    kernel = functools.partial(_decode_kernel, steps, V, Vp)
+    tokens = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((steps, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return tokens.T                                            # (B, steps)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _scan_decode_tokens(gview: Dict, z: jax.Array, steps: int) -> jax.Array:
+    from music_fader_nets_tpu.models.modules import global_decoder_greedy
+    logp = global_decoder_greedy(gview, z, steps)
+    return jnp.argmax(logp, axis=-1).astype(jnp.int32)
+
+
+def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
+                         use_pallas: bool = True,
+                         interpret: bool = False) -> jax.Array:
+    """Token-level greedy decode with automatic fallback to the XLA scan
+    when the kernel path is unavailable (e.g. very large batches whose
+    carries would not fit VMEM next to the weights).
+
+    Both paths are module-level jits with static `steps`, so compiles are
+    cached process-wide — callers must NOT wrap this in another jax.jit
+    (nesting would defeat the cache and recompile per wrapper)."""
+    if use_pallas and z.shape[0] <= 64:
+        try:
+            return pallas_greedy_decode(gview, z, steps, interpret=interpret)
+        except Exception:
+            pass
+    return _scan_decode_tokens(gview, z, steps)

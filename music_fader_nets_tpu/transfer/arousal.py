@@ -45,7 +45,7 @@ def arousal_transfer(params, cfg: ModelConfig, item: Dict[str, np.ndarray],
     (notebook cell 15). Returns (generated tokens, decoded notes)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     x_oh = jax.nn.one_hot(np.asarray(item["x"])[None], cfg.roll_dims)
-    (mu_r, std_r), (mu_n, std_n) = reg_gmvae_encode(params, x_oh)
+    (mu_r, std_r), (mu_n, std_n) = jax.jit(reg_gmvae_encode)(params, x_oh)
     kr, kn = jax.random.split(rng)
     z_r = reparameterize(kr, mu_r, std_r)
     z_n = reparameterize(kn, mu_n, std_n)
@@ -56,8 +56,10 @@ def arousal_transfer(params, cfg: ModelConfig, item: Dict[str, np.ndarray],
 
     c = jnp.asarray(item["c"])[None].astype(z_r.dtype)
     z = jnp.concatenate([z_r, z_n, c], axis=-1)
-    logp = reg_gmvae_global_decode(params, z, steps)
-    tokens = np.asarray(jnp.argmax(logp, axis=-1))[0]
+    # VMEM-resident Pallas decode (2.4x the XLA scan at B=1); falls back to
+    # the scan off-TPU
+    from music_fader_nets_tpu.models.gmvae import reg_gmvae_decode_tokens
+    tokens = np.asarray(reg_gmvae_decode_tokens(params, z, steps))[0]
     notes = performance_decode([t for t in tokens.tolist() if t > 1])
     return tokens, notes
 
