@@ -21,19 +21,19 @@ def get_music_attributes(pr: np.ndarray, beat: int = 24
     """pr (T, 128) velocity roll -> (events, rhythm, note_density, chroma,
     velocity). `beat` kept for signature parity; the roll is already
     quantized."""
-    events, pitch_lst, _, rhythm = encode_pianoroll(pr)
+    events, _, _, rhythm = encode_pianoroll(pr)
 
-    note_density = np.array([len(k) for k in pitch_lst])
+    pr = np.asarray(pr)
+    mask = pr > 0
+    note_density = mask.sum(axis=1)
 
     chroma = np.zeros((pr.shape[0], 12))
     for note in range(12):
         chroma[:, note] = np.sum(pr[:, note::12], axis=1)
 
-    velocity = np.zeros(len(pr), dtype=int)
-    for i in range(len(pr)):
-        nz = np.nonzero(pr[i])[0]
-        if len(nz) > 0:
-            velocity[i] = int(np.sum(pr[i]) / len(nz))
+    counts = np.maximum(note_density, 1)
+    velocity = (pr.sum(axis=1, dtype=np.int64) // counts).astype(int)
+    velocity = np.where(note_density > 0, velocity, 0)
 
     return events, rhythm, note_density, chroma, velocity
 

@@ -131,11 +131,33 @@ def pitch_lists_to_rhythm(pitch_lst) -> List[int]:
     return rhythm
 
 
+def rhythm_from_pianoroll(pr: np.ndarray) -> List[int]:
+    """Vectorized 3-class rhythm track, identical to
+    `pitch_lists_to_rhythm` over the roll's pitch sets."""
+    mask = np.asarray(pr) > 0
+    count = mask.sum(axis=1)
+    if len(mask) == 0:
+        return []
+    # cur is a subset of prev <=> no pitch sounds now that didn't before
+    subset = ~(mask[1:] & ~mask[:-1]).any(axis=1)
+    rest = np.where(subset, 2, 1)
+    tail = np.where(count[1:] == 0, 0, rest)
+    return [1 if count[0] > 0 else 0] + tail.tolist()
+
+
 def encode_pianoroll(pr: np.ndarray):
-    """pr (T,128) -> (events, pitch_lst, vel_lst, rhythm)."""
+    """pr (T,128) -> (events, pitch_lst, vel_lst, rhythm).
+
+    Event generation dispatches to the native C++ kernel when built."""
     pitch_lst, vel_lst = pianoroll_to_pitch_lists(pr)
-    rhythm = pitch_lists_to_rhythm(pitch_lst)
-    events = pitch_lists_to_events(pitch_lst, vel_lst)
+    rhythm = rhythm_from_pianoroll(pr)
+
+    from music_fader_nets_tpu import native
+    if native.HAVE_NATIVE and len(pr):
+        events = native.fadertok.pr_to_events(
+            np.ascontiguousarray(pr, np.int64)).tolist()
+    else:
+        events = pitch_lists_to_events(pitch_lst, vel_lst)
     return events, pitch_lst, vel_lst, rhythm
 
 
