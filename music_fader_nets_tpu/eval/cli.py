@@ -47,7 +47,12 @@ def _load_params(kind: str, cfg: ModelConfig, args):
     template = spec["init"](jax.random.PRNGKey(args.seed), cfg)
     if os.path.isdir(ckpt_dir):
         print(f"Loading {ckpt_dir}")
-        return restore_checkpoint(ckpt_dir, template)
+        from music_fader_nets_tpu.train.trainer import make_optimizer
+        import jax.numpy as jnp
+        full = {"params": template,
+                "opt_state": make_optimizer(cfg).init(template),
+                "step": jnp.zeros((), jnp.int32)}
+        return restore_checkpoint(ckpt_dir, full)["params"]
     print(f"WARNING: no checkpoint at {ckpt_dir}; evaluating random init")
     return template
 

@@ -72,6 +72,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                     help="synthetic corpus size when no cache/MIDI exists")
     ap.add_argument("--mesh", default=None,
                     help="mesh shape as DATAxMODEL, e.g. 4x2 (default: 1 chip)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX platform (NB: the JAX_PLATFORMS env "
+                         "var is ignored by the TPU plugin here; this flag "
+                         "uses jax.config before backend init)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fixed-quirks", action="store_true",
                     help="disable faithful replication of reference quirks "
@@ -83,6 +87,8 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
 
 
 def config_from_args(kind: str, args) -> ModelConfig:
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     spec = MODEL_REGISTRY[kind]
     path = args.config or (spec["config"]
                            if os.path.exists(spec["config"]) else None)
@@ -121,20 +127,30 @@ def make_mesh(args):
 
 
 def make_trainer(kind: str, cfg: ModelConfig, args) -> Trainer:
+    """Build the trainer, resuming FULL state (params + optimizer + step)
+    from the run's checkpoint dir if present. NB the reference persists only
+    the state_dict, so its resume restarts KL annealing from step 0
+    (SURVEY.md §5); resuming the step counter here is a deliberate fix."""
     spec = MODEL_REGISTRY[kind]
     params = None
     ckpt_dir = os.path.join(args.save_dir, spec["name"])
     if args.from_pt:
         params = load_pt_checkpoint(args.from_pt)
         print(f"Loaded torch checkpoint {args.from_pt}")
-    elif os.path.isdir(ckpt_dir):
-        template = spec["init"](jax.random.PRNGKey(args.seed), cfg)
-        params = restore_checkpoint(ckpt_dir, template)
-        print(f"Loading {ckpt_dir}")
-    else:
+    trainer = Trainer(cfg, spec["init"], spec["losses"], mesh=make_mesh(args),
+                      seed=args.seed, params=params)
+    if not args.from_pt and os.path.isdir(ckpt_dir):
+        state = restore_checkpoint(ckpt_dir, {
+            "params": trainer.state.params,
+            "opt_state": trainer.state.opt_state,
+            "step": trainer.state.step})
+        trainer.state = TrainState(state["params"], state["opt_state"],
+                                   state["step"])
+        trainer._host_step = int(state["step"])
+        print(f"Loading {ckpt_dir} (resumed at step {trainer._host_step})")
+    elif not args.from_pt:
         print(f"Save path: {ckpt_dir}")
-    return Trainer(cfg, spec["init"], spec["losses"], mesh=make_mesh(args),
-                   seed=args.seed, params=params)
+    return trainer
 
 
 def checkpoint_fn(kind: str, args) -> Callable[[TrainState, int], None]:
@@ -144,7 +160,9 @@ def checkpoint_fn(kind: str, args) -> Callable[[TrainState, int], None]:
 
     def save(state: TrainState, epoch: int):
         print("Saving model...")
-        save_checkpoint(ckpt_dir, state.params)
+        save_checkpoint(ckpt_dir, {"params": state.params,
+                                   "opt_state": state.opt_state,
+                                   "step": state.step})
 
     return save
 
@@ -153,7 +171,9 @@ def save_timestamped(kind: str, args, state: TrainState):
     spec = MODEL_REGISTRY[kind]
     stamp = datetime.now().isoformat().replace(":", "-")
     path = os.path.join(args.save_dir, f"{spec['name']}_{stamp}")
-    save_checkpoint(path, state.params)
+    save_checkpoint(path, {"params": state.params,
+                           "opt_state": state.opt_state,
+                           "step": state.step})
     print(f"Model saved as {path}!")
 
 
@@ -199,18 +219,21 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
     checkpoint per epoch + timestamped final) -> evaluation phase
     (CE/reg/accuracy on train+test), mirroring reference trainer.py:199-380."""
     from music_fader_nets_tpu.eval.reconstruction import reconstruction_report
+    from music_fader_nets_tpu.utils.logging import MetricsLogger
 
     args = build_argparser(description).parse_args(argv)
     cfg = config_from_args(kind, args)
     trainer = make_trainer(kind, cfg, args)
     ck = checkpoint_fn(kind, args)
+    logger = MetricsLogger(MODEL_REGISTRY[kind]["name"])
     yam = load_yamaha(args, cfg)
     print("Train / Validation / Test")
     print(len(yam["train"]), len(yam["val"]), len(yam["test"]))
 
     if not dual_corpus:
         trainer.fit(yam["train"].arrays(), yam["val"].arrays(),
-                    n_epochs=cfg.n_epochs, checkpoint_fn=ck)
+                    n_epochs=cfg.n_epochs, checkpoint_fn=ck,
+                    metrics_logger=logger)
     else:
         vgm = load_vgmidi(args)
         print("VGMIDI: Train / Validation / Test")
@@ -236,6 +259,10 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
                 f"{k}: {v:.4f}" for k, v in sorted(uns.items())))
             print("yamaha val   - " + " ".join(
                 f"{k}: {v:.4f}" for k, v in sorted(uns_val.items())))
+            for split, m in (("vgmidi_train", sup), ("vgmidi_val", sup_val),
+                             ("yamaha_train", uns), ("yamaha_val", uns_val)):
+                logger.log(m, step=trainer._host_step, epoch=epoch,
+                           split=split)
             ck(trainer.state, epoch)
     save_timestamped(kind, args, trainer.state)
 

@@ -218,7 +218,8 @@ class Trainer:
 
     def fit(self, train_arrays, val_arrays=None, n_epochs: Optional[int] = None,
             log_fn: Callable[[str], None] = print,
-            checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None):
+            checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
+            metrics_logger=None):
         n_epochs = n_epochs or self.cfg.n_epochs
         for epoch in range(1, n_epochs + 1):
             log_fn(f"Epoch {epoch} / {n_epochs}")
@@ -226,12 +227,19 @@ class Trainer:
             tr = self.run_epoch(train_arrays, train=True, seed=epoch)
             lines = [f"train loss: {tr.get('loss', float('nan')):.4f}"
                      f"  ({time.time() - t0:.1f}s)"]
+            ev = None
             if val_arrays is not None:
                 ev = self.run_epoch(val_arrays, train=False, shuffle=False)
                 lines.append(f"val loss: {ev.get('loss', float('nan')):.4f}")
             log_fn("  ".join(lines))
             log_fn("train by term - " + " ".join(
                 f"{k}: {v:.4f}" for k, v in sorted(tr.items()) if k != "loss"))
+            if metrics_logger is not None:
+                metrics_logger.log(tr, step=self._host_step, epoch=epoch,
+                                   split="train")
+                if ev is not None:
+                    metrics_logger.log(ev, step=self._host_step, epoch=epoch,
+                                       split="val")
             if checkpoint_fn is not None:
                 checkpoint_fn(self.state, epoch)
         return self.state

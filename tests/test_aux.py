@@ -1,0 +1,108 @@
+"""Auxiliary subsystems: metrics logging, profiling, full-state resume,
+VGMIDI annotation filtering."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu import models
+from music_fader_nets_tpu.data.datasets import YamahaDataset
+from music_fader_nets_tpu.data.synthetic import synth_corpus
+from music_fader_nets_tpu.data.vgmidi_labels import (
+    dtw_distance, dtw_kmeans, filter_annotations, get_average_av_values,
+)
+from music_fader_nets_tpu.train import Trainer, TrainState, vanilla_loss
+from music_fader_nets_tpu.utils.checkpoint import (
+    restore_checkpoint, save_checkpoint,
+)
+from music_fader_nets_tpu.utils.logging import MetricsLogger
+from music_fader_nets_tpu.utils.profiling import StepTimer
+
+CFG = ModelConfig(hidden_dims=16, z_dims=4, batch_size=8, seq_len=30,
+                  attr_len=8)
+
+
+def test_metrics_logger(tmp_path):
+    lg = MetricsLogger("run1", log_dir=str(tmp_path))
+    lg.log({"loss": 1.5}, step=10, split="train")
+    lg.log({"loss": 1.2}, step=20, split="val")
+    lg.close()
+    lines = [json.loads(l) for l in open(lg.path)]
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 10
+    assert lines[1]["split"] == "val"
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        t.stop(np.asarray([1.0]))
+    s = t.summary()
+    assert s["n"] == 3 and s["p50_s"] >= 0
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    arrays = YamahaDataset(*synth_corpus(32, 30, 8), mode="train").arrays()
+    tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
+    tr.run_epoch(arrays, seed=0)
+    path = str(tmp_path / "full")
+    save_checkpoint(path, {"params": tr.state.params,
+                           "opt_state": tr.state.opt_state,
+                           "step": tr.state.step})
+    tr2 = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss}, seed=9)
+    got = restore_checkpoint(path, {"params": tr2.state.params,
+                                    "opt_state": tr2.state.opt_state,
+                                    "step": tr2.state.step})
+    assert int(got["step"]) == int(tr.state.step) > 0
+    a = jax.tree_util.tree_leaves(tr.state.opt_state)
+    b = jax.tree_util.tree_leaves(got["opt_state"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # resumed training continues without error
+    tr2.state = TrainState(got["params"], got["opt_state"], got["step"])
+    m = tr2.run_epoch(arrays, seed=1)
+    assert np.isfinite(m["loss"])
+
+
+def test_dtw_distance():
+    a = np.array([0.0, 1, 2, 3])
+    assert dtw_distance(a, a) == 0.0
+    # time-shifted series are closer under DTW than euclidean
+    b = np.array([0.0, 0, 1, 2])
+    assert dtw_distance(a, b) < np.linalg.norm(a - b)
+
+
+def test_filter_annotations_drops_outlier_cluster():
+    rng = np.random.default_rng(0)
+    T = 20
+    base = np.sin(np.linspace(0, 3, T))
+    tight1 = base + rng.normal(0, 0.01, (6, T))           # big tight cluster
+    tight2 = base + 2 + rng.normal(0, 0.01, (3, T))       # small tight cluster
+    noisy = rng.normal(0, 3.0, (4, T))                    # high-variance
+    arousal = np.concatenate([tight1, tight2, noisy])
+    valence = rng.normal(0, 1, arousal.shape)
+    a_mean, v_mean = filter_annotations(arousal, valence, seed=0)
+    # kept cluster should be the larger tight one (near `base`)
+    assert np.abs(a_mean - base).mean() < 0.5
+    assert v_mean.shape == (T,)
+
+
+def test_get_average_av_values():
+    rng = np.random.default_rng(1)
+    T = 10
+    av = {}
+    for i in range(1, 31):
+        av[f"song_{i}"] = {
+            "musicianship": 5 if i <= 20 else 1,      # 10 filtered out
+            "arousal": (np.ones(T) * (i % 3)).tolist(),
+            "valence": rng.normal(0, 1, T).tolist(),
+        }
+    res = get_average_av_values(av, "song")
+    assert res is not None
+    a, v = res
+    assert a.shape == (T,) and v.shape == (T,)
+    assert get_average_av_values({}, "nope") is None
