@@ -114,7 +114,7 @@ def sub_decoder_apply(p, track_oh: jax.Array, z: jax.Array,
     outs, _ = gru_scan(p["gru"], inputs, h0)
     logits = linear_apply(p["out"], outs)    # (B, T, C)
     axis = 1 if faithful_softmax_axis else -1
-    return jax.nn.log_softmax(logits, axis=axis)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=axis)
 
 
 def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
@@ -139,8 +139,8 @@ def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
     axis = 1 if faithful_softmax_axis else -1
     r_logits = linear_apply(p_r["out"], jnp.swapaxes(outs[0], 0, 1))
     n_logits = linear_apply(p_n["out"], jnp.swapaxes(outs[1], 0, 1))
-    return (jax.nn.log_softmax(r_logits, axis=axis),
-            jax.nn.log_softmax(n_logits, axis=axis))
+    return (jax.nn.log_softmax(r_logits.astype(jnp.float32), axis=axis),
+            jax.nn.log_softmax(n_logits.astype(jnp.float32), axis=axis))
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +177,8 @@ def _decoder_step(p, pre_x, h1, h2, is_first):
     h2_prev = jnp.where(is_first, h1_new, h2)
     pre2 = h1_new @ p["grucell_g_2"]["w_ih"] + p["grucell_g_2"]["b_ih"]
     h2_new = gru_cell_from_pre(p["grucell_g_2"], pre2, h2_prev)
-    logp = jax.nn.log_softmax(linear_apply(p["linear_out_g"], h2_new), axis=-1)
+    logp = jax.nn.log_softmax(
+        linear_apply(p["linear_out_g"], h2_new).astype(jnp.float32), axis=-1)
     return h1_new, h2_new, logp
 
 
@@ -226,7 +227,7 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
     _, h2_seq = jax.lax.scan(body2, h1_seq[0], pre2)                  # (T, B, H)
 
     logits = linear_apply(p["linear_out_g"], jnp.swapaxes(h2_seq, 0, 1))
-    return jax.nn.log_softmax(logits, axis=-1)                        # (B, T, V)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)    # (B, T, V)
 
 
 def global_decoder_greedy(p, z: jax.Array, steps: int) -> jax.Array:

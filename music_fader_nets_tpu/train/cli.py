@@ -72,6 +72,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                     help="synthetic corpus size when no cache/MIDI exists")
     ap.add_argument("--mesh", default=None,
                     help="mesh shape as DATAxMODEL, e.g. 4x2 (default: 1 chip)")
+    ap.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype: float32 (default, parity) or "
+                         "bfloat16 mixed precision (~1.4x faster training)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX platform (NB: the JAX_PLATFORMS env "
                          "var is ignored by the TPU plugin here; this flag "
@@ -97,6 +101,8 @@ def config_from_args(kind: str, args) -> ModelConfig:
         overrides["n_epochs"] = args.epochs
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
+    if getattr(args, "dtype", None):
+        overrides["dtype"] = args.dtype
     if args.fixed_quirks:
         overrides.update(faithful_negative_beta=False,
                          faithful_subdecoder_softmax_axis=False,

@@ -35,6 +35,28 @@ from music_fader_nets_tpu.models.vae import _global_view
 Metrics = Dict[str, jax.Array]
 
 
+def _compute_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def _mixed_precision(params, batch, cfg: ModelConfig):
+    """Mixed precision (cfg.dtype='bfloat16'): params and inputs cast to
+    bf16 at forward entry; logits are upcast before every log_softmax
+    (models/modules.py) and the loss terms below run in f32. Gradients flow
+    through the casts back to the f32 master params (standard mixed
+    precision)."""
+    dt = _compute_dtype(cfg)
+    if dt == jnp.float32:
+        return params, batch, dt
+    return _cast_tree(params, dt), dict(batch, c=batch["c"].astype(dt)), dt
+
+
 def _one_hots(batch, cfg: ModelConfig, dtype=jnp.float32):
     x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims, dtype=dtype)
     r_oh = jax.nn.one_hot(batch["r"], cfg.rhythm_dims, dtype=dtype)
@@ -55,9 +77,11 @@ def _recon_ce(fwd, batch, cfg: ModelConfig):
 def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
                  train: bool = True) -> Tuple[jax.Array, Metrics]:
     """ELBO + Pati attribute regularization (reference trainer.py:87-132)."""
-    x_oh, r_oh, n_oh = _one_hots(batch, cfg)
+    params, batch, dt = _mixed_precision(params, batch, cfg)
+    x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.reg_vae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
                               cfg, train=train)
+    fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
@@ -78,9 +102,11 @@ def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
              ) -> Tuple[jax.Array, Metrics]:
     """GM-VAE loss, unsupervised (Yamaha) or supervised (VGMIDI arousal)
     branch (reference trainer_gmm.py:109-196), + Pati regularization."""
-    x_oh, r_oh, n_oh = _one_hots(batch, cfg)
+    params, batch, dt = _mixed_precision(params, batch, cfg)
+    x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = gmvae.reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
                                   cfg, train=train)
+    fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
@@ -125,6 +151,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     — the reference model is in training mode during the extra decodes —
     and are gated on step > 20 (trainer_glsr.py:253) via a lazily-valued
     `where` (both branches compile; the decode cost is inherent to GLSR)."""
+    # GLSR stays f32: its central-difference gradient estimate is
+    # precision-sensitive (deltas ~1e-2 on soft densities)
     x_oh, r_oh, n_oh = _one_hots(batch, cfg)
     rng_fwd, rng_glsr = jax.random.split(rng)
     fwd = vae.reg_vae_forward(params, rng_fwd, x_oh, r_oh, n_oh, batch["c"],
@@ -156,11 +184,13 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
 def cvae_loss(params, rng, batch, step, cfg: ModelConfig,
               train: bool = True) -> Tuple[jax.Array, Metrics]:
     """CE_X + annealed KLD only (reference trainer_cvae.py:84-102)."""
-    x_oh, _, _ = _one_hots(batch, cfg)
-    rd = batch["r_density"][:, None]
-    nd = batch["n_density"][:, None]
+    params, batch, dt = _mixed_precision(params, batch, cfg)
+    x_oh, _, _ = _one_hots(batch, cfg, dtype=dt)
+    rd = batch["r_density"][:, None].astype(dt)
+    nd = batch["n_density"][:, None].astype(dt)
     fwd = vae.cvae_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
                            train=train)
+    fwd = _cast_tree(fwd, jnp.float32)
     ce_x = nll_mean(fwd["out"], batch["x"])
     kld = kl_std_normal(fwd["mu"], fwd["std"])
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
@@ -175,16 +205,20 @@ def fader_loss(params, rng, batch, step, cfg: ModelConfig,
                train: bool = True) -> Tuple[jax.Array, Metrics]:
     """CVAE loss + ramped adversarial MSE through the gradient-reversed
     discriminators (reference trainer_fader.py:84-135)."""
-    x_oh, _, _ = _one_hots(batch, cfg)
-    rd = batch["r_density"][:, None]
-    nd = batch["n_density"][:, None]
+    params, batch, dt = _mixed_precision(params, batch, cfg)
+    x_oh, _, _ = _one_hots(batch, cfg, dtype=dt)
+    rd = batch["r_density"][:, None].astype(dt)
+    nd = batch["n_density"][:, None].astype(dt)
     fwd = vae.fader_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
                             train=train)
+    fwd = _cast_tree(fwd, jnp.float32)
     ce_x = nll_mean(fwd["out"], batch["x"])
     kld = kl_std_normal(fwd["mu"], fwd["std"])
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
-    l_adv_r = adversarial_fader_loss(step, fwd["disc_r"], rd)
-    l_adv_n = adversarial_fader_loss(step, fwd["disc_n"], nd)
+    l_adv_r = adversarial_fader_loss(step, fwd["disc_r"],
+                                     rd.astype(jnp.float32))
+    l_adv_n = adversarial_fader_loss(step, fwd["disc_n"],
+                                     nd.astype(jnp.float32))
     loss = ce_x + beta0 * kld + l_adv_r + l_adv_n
     return loss, {"loss": loss, "CE_X": ce_x, "KLD": kld,
                   "l_adv_r": l_adv_r, "l_adv_n": l_adv_n}
@@ -198,9 +232,11 @@ def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
     """5*CE_X + beta*KLD (NO annealing — the reference uses raw beta,
     trainer_singlevae.py:107) + Pati reg on z[:,0] (rhythm) and z[:,1]
     (note) of the single latent (trainer_singlevae.py:110-123)."""
-    x_oh, _, _ = _one_hots(batch, cfg)
+    params, batch, dt = _mixed_precision(params, batch, cfg)
+    x_oh, _, _ = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.single_vae_forward(params, rng, x_oh, batch["c"], cfg,
                                  train=train)
+    fwd = _cast_tree(fwd, jnp.float32)
     ce_x = nll_mean(fwd["out"], batch["x"])
     kld = kl_std_normal(fwd["mu"], fwd["std"])
     l_r = pati_regularizer(fwd["z"][:, 0], batch["r_density"])

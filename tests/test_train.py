@@ -90,3 +90,27 @@ def test_frozen_logvar_lookup_not_updated(yamaha):
     tr.run_epoch(yamaha, seed=0)
     after = np.asarray(tr.params["logvar_r_lookup"])
     np.testing.assert_array_equal(before, after)
+
+
+def test_bfloat16_mixed_precision(yamaha):
+    """bf16 compute path: loss finite, decreasing, master params stay f32."""
+    import jax.numpy as jnp
+    cfg16 = ModelConfig(hidden_dims=32, z_dims=8, batch_size=8, seq_len=40,
+                        attr_len=8, dtype="bfloat16")
+    tr = Trainer(cfg16, models.init_reg_vae, {"default": vanilla_loss})
+    m1 = tr.run_epoch(yamaha, seed=1)
+    m2 = tr.run_epoch(yamaha, seed=2)
+    assert np.isfinite(m1["loss"]) and m2["loss"] < m1["loss"]
+    assert tr.params["mu_r"]["w"].dtype == jnp.float32
+
+
+def test_long_corpus_variant(  ):
+    """The 'long' data type: 64-step attribute tracks, 250-token budget
+    (reference ptb_v2.py:303)."""
+    cfg = ModelConfig(hidden_dims=16, z_dims=4, batch_size=4, seq_len=250,
+                      attr_len=64)
+    data = synth_corpus(16, 250, 64)
+    ds = YamahaDataset(*data, mode="train")
+    tr = Trainer(cfg, models.init_reg_vae, {"default": vanilla_loss})
+    m = tr.run_epoch(ds.arrays(), seed=0)
+    assert np.isfinite(m["loss"])
