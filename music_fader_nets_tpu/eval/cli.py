@@ -114,6 +114,17 @@ def run_evaluation(kind: str, description: str, argv=None,
 
         stats = latent_stats(encode_batched, yam["train"].arrays(), cfg)
         print("latent stats:", stats)
+        # direct z-space monotonicity on encoder means
+        # (reference test_singlevae_v2.py:311-330)
+        from music_fader_nets_tpu.eval.controllability import latent_monotonicity
+
+        def encode_means(batch, rng):
+            x_oh = jax.nn.one_hot(batch["x"], cfg.roll_dims)
+            mu, _ = models.single_vae_encode(params, x_oh)
+            return mu, mu[:, 1:]
+
+        print("z-space monotonicity:",
+              latent_monotonicity(encode_means, yam["test"].arrays(), cfg))
         for target, lo, hi in (("rhythm", stats["z_r_min"], stats["z_r_max"]),
                                ("note", stats["z_n_min"], stats["z_n_max"])):
             print(f"=== {target} fader ===")

@@ -119,6 +119,32 @@ def latent_stats(encode_batched: Callable, arrays: Dict[str, np.ndarray],
     }
 
 
+def latent_monotonicity(encode_batched: Callable, arrays: Dict[str, np.ndarray],
+                        cfg: ModelConfig, batch_size: int = 128,
+                        rng: Optional[jax.Array] = None) -> Dict[str, float]:
+    """z-space monotonicity: R^2 of the regularized latent dimension against
+    the attribute, measured directly on the encoder outputs over the corpus
+    (reference test_singlevae_v2.py:311-330)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    encode_batched = _jit_cached(encode_batched)
+    z_r0, z_n0, rd, nd = [], [], [], []
+    n = len(arrays["x"])
+    batch_size = min(batch_size, n)
+    for s in range(0, n - batch_size + 1, batch_size):
+        batch = {k: v[s: s + batch_size] for k, v in arrays.items()}
+        zr, zn = encode_batched(batch, jax.random.fold_in(rng, s))
+        z_r0.append(np.asarray(zr[:, 0]))
+        z_n0.append(np.asarray(zn[:, 0]))
+        rd.append(batch["r_density"])
+        nd.append(batch["n_density"])
+    if not z_r0:
+        return {}
+    return {
+        "z_r_monotonicity": _r2(np.concatenate(z_r0), np.concatenate(rd)),
+        "z_n_monotonicity": _r2(np.concatenate(z_n0), np.concatenate(nd)),
+    }
+
+
 @dataclasses.dataclass
 class EvalScores:
     consistency: Tuple[float, float]

@@ -230,6 +230,41 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)    # (B, T, V)
 
 
+def global_decoder_scheduled(p, z: jax.Array, x_oh: jax.Array, rng,
+                             eps: float) -> jax.Array:
+    """Scheduled-sampling decode: at each step one Bernoulli coin for the
+    whole batch picks teacher forcing (prob `eps`) vs the model's own argmax
+    feedback — the reference's latent machinery (model_v2.py:135-140, with
+    its decay schedule commented out at :258-259; `eps=100` makes the
+    shipped model always-teacher-forced). `eps>=1` reproduces
+    `global_decoder_teacher` exactly; `eps<=0` reproduces greedy feedback.
+    """
+    B, T, V = x_oh.shape
+    w_tok, w_z = _split_w_ih(p, V)
+    pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    start = jnp.zeros((B, 1, V), x_oh.dtype).at[:, 0, V - 1].set(1.0)
+    teacher = jnp.concatenate([start, x_oh[:, :-1]], axis=1)
+    teacher_pre = jnp.swapaxes(teacher @ w_tok + pre_z[:, None, :], 0, 1)
+
+    h1 = linear_apply(p["linear_init_global"], z)
+    h2 = jnp.zeros_like(h1)
+    tok0 = jnp.full((B,), V - 1, dtype=jnp.int32)
+    coins = jax.random.uniform(rng, (T,)) < eps    # per-step, whole batch
+
+    def body(carry, inp):
+        h1, h2, tok = carry
+        t, tpre_t, coin = inp
+        own_pre = jnp.take(w_tok, tok, axis=0) + pre_z
+        pre_t = jnp.where(coin, tpre_t, own_pre)
+        h1, h2, logp = _decoder_step(p, pre_t, h1, h2, t == 0)
+        tok_new = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        return (h1, h2, tok_new), logp
+
+    _, logps = jax.lax.scan(body, (h1, h2, tok0),
+                            (jnp.arange(T), teacher_pre, coins))
+    return jnp.swapaxes(logps, 0, 1)
+
+
 def global_decoder_greedy(p, z: jax.Array, steps: int) -> jax.Array:
     """Autoregressive greedy decode (eval / style-transfer path).
 
