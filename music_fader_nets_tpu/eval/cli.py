@@ -52,7 +52,11 @@ def _load_params(kind: str, cfg: ModelConfig, args):
         full = {"params": template,
                 "opt_state": make_optimizer(cfg).init(template),
                 "step": jnp.zeros((), jnp.int32)}
-        return restore_checkpoint(ckpt_dir, full)["params"]
+        try:
+            return restore_checkpoint(ckpt_dir, full)["params"]
+        except Exception:
+            # legacy params-only checkpoint layout
+            return restore_checkpoint(ckpt_dir, template)
     print(f"WARNING: no checkpoint at {ckpt_dir}; evaluating random init")
     return template
 

@@ -146,14 +146,21 @@ def make_trainer(kind: str, cfg: ModelConfig, args) -> Trainer:
     trainer = Trainer(cfg, spec["init"], spec["losses"], mesh=make_mesh(args),
                       seed=args.seed, params=params)
     if not args.from_pt and os.path.isdir(ckpt_dir):
-        state = restore_checkpoint(ckpt_dir, {
-            "params": trainer.state.params,
-            "opt_state": trainer.state.opt_state,
-            "step": trainer.state.step})
-        trainer.state = TrainState(state["params"], state["opt_state"],
-                                   state["step"])
-        trainer._host_step = int(state["step"])
-        print(f"Loading {ckpt_dir} (resumed at step {trainer._host_step})")
+        try:
+            state = restore_checkpoint(ckpt_dir, {
+                "params": trainer.state.params,
+                "opt_state": trainer.state.opt_state,
+                "step": trainer.state.step})
+            trainer.state = TrainState(state["params"], state["opt_state"],
+                                       state["step"])
+            trainer._host_step = int(state["step"])
+            print(f"Loading {ckpt_dir} (resumed at step {trainer._host_step})")
+        except Exception:
+            # legacy params-only checkpoint: fresh optimizer/step
+            params = restore_checkpoint(ckpt_dir, trainer.state.params)
+            trainer.state = TrainState(params, trainer.state.opt_state,
+                                       trainer.state.step)
+            print(f"Loading {ckpt_dir} (params only; optimizer reset)")
     elif not args.from_pt:
         print(f"Save path: {ckpt_dir}")
     return trainer

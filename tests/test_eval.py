@@ -111,3 +111,26 @@ def test_arousal_transfer(tmp_path, arrays):
     transfer_to_midi(toks, out)
     import os
     assert os.path.getsize(out) > 20
+
+
+def test_decode_all_chunking(arrays):
+    """Chunked decode pads to the fixed chunk size and reassembles rows."""
+    params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
+    import jax.numpy as jnp
+    calls = []
+
+    def fake_decode_tokens(p, z, steps):
+        calls.append(z.shape)
+        # token = row index marker so reassembly is checkable
+        return jnp.broadcast_to(jnp.arange(z.shape[0])[:, None],
+                                (z.shape[0], steps)).astype(jnp.int32)
+    ev = ControllabilityEvaluator(
+        params, CFG, models.reg_vae_encode, models.reg_vae_global_decode,
+        epochs=1, num_of_samples=2, decode_steps=5, verbose=False,
+        decode_tokens=fake_decode_tokens)
+    z = np.random.default_rng(0).normal(size=(70, 2 * CFG.z_dims + 24))
+    toks = ev._decode_all(z)
+    assert toks.shape == (70, 5)
+    assert all(shape == (64, z.shape[1]) for shape in calls)  # fixed chunks
+    # rows preserved in order: first chunk rows 0..63, second 0..5
+    assert toks[0, 0] == 0 and toks[63, 0] == 63 and toks[64, 0] == 0
