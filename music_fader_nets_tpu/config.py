@@ -53,6 +53,10 @@ class ModelConfig:
 
     # --- TPU execution ---
     dtype: str = "float32"         # compute dtype for parity runs; "bfloat16" for speed
+    # fused Pallas GRU scan (ops/pallas_gru.py) for training recurrences:
+    # ~2x f32 / ~1.6x bf16 on fwd+grad; single-chip TPU only (a pallas_call
+    # cannot be GSPMD-partitioned, so keep False under tp meshes)
+    use_pallas_gru: bool = False
     data_axis: str = "data"
     model_axis: str = "model"
 

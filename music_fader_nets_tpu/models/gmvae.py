@@ -105,7 +105,9 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                       cfg: ModelConfig, train: bool = True) -> Dict:
     """reference gmm_model.py:220-259; returns reconstruction outputs plus the
     per-stream mixture posteriors and inferred components."""
-    (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh)
+    pal = cfg.use_pallas_gru
+    (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh,
+                                                  use_pallas=pal)
     rng_r, rng_n = jax.random.split(rng)
     z_r = reparameterize(rng_r, mu_r, std_r)
     z_n = reparameterize(rng_n, mu_n, std_n)
@@ -117,11 +119,12 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
 
     r_out, n_out = sub_decoder_pair_apply(
         _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
-        cfg.faithful_subdecoder_softmax_axis)
+        cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     if train:
-        out = global_decoder_teacher(_global_view(params), z, x_oh)
+        out = global_decoder_teacher(_global_view(params), z, x_oh,
+                                     use_pallas=pal)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
 

@@ -61,7 +61,8 @@ def encoder_stream_apply(p, x_oh: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mu, std
 
 
-def encode_streams_fused(views: list, x_oh: jax.Array):
+def encode_streams_fused(views: list, x_oh: jax.Array,
+                         use_pallas: bool = False):
     """All encoder streams' bi-GRU directions in ONE fused scan.
 
     Separate `lax.scan`s run sequentially under XLA, so S bidirectional
@@ -74,7 +75,8 @@ def encode_streams_fused(views: list, x_oh: jax.Array):
     for v in views:
         params += [v["gru"]["fwd"], v["gru"]["bwd"]]
         reverse += [False, True]
-    finals = multi_gru_final_states(params, x_oh, reverse)   # (2S, B, H)
+    finals = multi_gru_final_states(params, x_oh, reverse,
+                                    use_pallas=use_pallas)   # (2S, B, H)
     out = []
     for i, v in enumerate(views):
         h = jnp.concatenate([finals[2 * i], finals[2 * i + 1]], axis=-1)
@@ -118,7 +120,8 @@ def sub_decoder_apply(p, track_oh: jax.Array, z: jax.Array,
 
 
 def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
-                           faithful_softmax_axis: bool = True):
+                           faithful_softmax_axis: bool = True,
+                           use_pallas: bool = False):
     """Both attribute sub-decoders in one fused scan (their recurrences are
     independent and same-length; only the hoisted input projections and
     output heads differ). Numerics identical to two `sub_decoder_apply`s."""
@@ -135,7 +138,8 @@ def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
     b_hh = jnp.stack([p_r["gru"]["b_hh"], p_n["gru"]["b_hh"]])
     h0 = jnp.stack([linear_apply(p_r["init"], z_r),
                     linear_apply(p_n["init"], z_n)])
-    outs, _ = stacked_gru_scan(pre, w_hh, b_hh, h0)           # (2, T, B, H)
+    outs, _ = stacked_gru_scan(pre, w_hh, b_hh, h0,
+                               use_pallas=use_pallas)         # (2, T, B, H)
     axis = 1 if faithful_softmax_axis else -1
     r_logits = linear_apply(p_r["out"], jnp.swapaxes(outs[0], 0, 1))
     n_logits = linear_apply(p_n["out"], jnp.swapaxes(outs[1], 0, 1))
@@ -182,7 +186,8 @@ def _decoder_step(p, pre_x, h1, h2, is_first):
     return h1_new, h2_new, logp
 
 
-def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
+def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array,
+                           use_pallas: bool = False) -> jax.Array:
     """Teacher-forced decode over the full sequence (training path).
 
     Inputs are `[start, x_0, ..., x_{T-2}]`; outputs predict `[x_0..x_{T-1}]`
@@ -210,21 +215,34 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array) -> jax.Array:
     pre = jnp.swapaxes(pre, 0, 1)                                     # (T, B, 3H)
 
     h1_0 = linear_apply(p["linear_init_global"], z)
+    cell1, cell2 = p["grucell_g"], p["grucell_g_2"]
 
-    def body1(h, pre_t):
-        h = gru_cell_from_pre(p["grucell_g"], pre_t, h)
-        return h, h
+    if use_pallas and jax.default_backend() == "tpu":
+        # `pre` is already time-major (T, B, 3H); the stacked kernel takes
+        # (L, T, B, 3H) with L=1 here
+        outs, _ = stacked_gru_scan(
+            pre[None], cell1["w_hh"][None],
+            cell1["b_hh"][None], h1_0[None], use_pallas=True)
+        h1_seq = outs[0]                                              # (T, B, H)
+        pre2 = h1_seq @ cell2["w_ih"] + cell2["b_ih"]                 # (T, B, 3H)
+        outs2, _ = stacked_gru_scan(
+            pre2[None], cell2["w_hh"][None],
+            cell2["b_hh"][None], h1_seq[0][None], use_pallas=True)
+        h2_seq = outs2[0]
+    else:
+        def body1(h, pre_t):
+            h = gru_cell_from_pre(cell1, pre_t, h)
+            return h, h
 
-    _, h1_seq = jax.lax.scan(body1, h1_0, pre)                        # (T, B, H)
+        _, h1_seq = jax.lax.scan(body1, h1_0, pre)                    # (T, B, H)
 
-    cell2 = p["grucell_g_2"]
-    pre2 = h1_seq @ cell2["w_ih"] + cell2["b_ih"]                     # (T, B, 3H)
+        pre2 = h1_seq @ cell2["w_ih"] + cell2["b_ih"]                 # (T, B, 3H)
 
-    def body2(h, pre_t):
-        h = gru_cell_from_pre(cell2, pre_t, h)
-        return h, h
+        def body2(h, pre_t):
+            h = gru_cell_from_pre(cell2, pre_t, h)
+            return h, h
 
-    _, h2_seq = jax.lax.scan(body2, h1_seq[0], pre2)                  # (T, B, H)
+        _, h2_seq = jax.lax.scan(body2, h1_seq[0], pre2)              # (T, B, H)
 
     logits = linear_apply(p["linear_out_g"], jnp.swapaxes(h2_seq, 0, 1))
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)    # (B, T, V)

@@ -100,12 +100,14 @@ def init_reg_vae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     return p
 
 
-def reg_vae_encode(params, x_oh) -> Tuple[Tuple[jax.Array, jax.Array],
-                                          Tuple[jax.Array, jax.Array]]:
+def reg_vae_encode(params, x_oh, use_pallas: bool = False
+                   ) -> Tuple[Tuple[jax.Array, jax.Array],
+                              Tuple[jax.Array, jax.Array]]:
     """Returns ((mu_r, std_r), (mu_n, std_n)). reference model_v2.py:81-97.
     Both streams' bi-GRU directions run in one fused scan."""
     (mu_r, std_r), (mu_n, std_n) = encode_streams_fused(
-        [_enc_view(params, "r"), _enc_view(params, "n")], x_oh)
+        [_enc_view(params, "r"), _enc_view(params, "n")], x_oh,
+        use_pallas=use_pallas)
     return (mu_r, std_r), (mu_n, std_n)
 
 
@@ -129,18 +131,21 @@ def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     sampling a no-op — always teacher-forced, SURVEY.md §2.4); greedy
     otherwise. Returns log-prob outputs, distributions and latents.
     """
-    (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh)
+    pal = cfg.use_pallas_gru
+    (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh,
+                                                  use_pallas=pal)
     rng_r, rng_n = jax.random.split(rng)
     z_r = reparameterize(rng_r, mu_r, std_r)
     z_n = reparameterize(rng_n, mu_n, std_n)
 
     r_out, n_out = sub_decoder_pair_apply(
         _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
-        cfg.faithful_subdecoder_softmax_axis)
+        cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     if train:
-        out = global_decoder_teacher(_global_view(params), z, x_oh)
+        out = global_decoder_teacher(_global_view(params), z, x_oh,
+                                     use_pallas=pal)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
 

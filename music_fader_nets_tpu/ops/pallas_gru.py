@@ -1,0 +1,223 @@
+"""Pallas fused stacked-GRU scan (forward + custom VJP) for training.
+
+Under XLA, each `lax.scan` step of the GRU recurrence is a small batched
+matmul plus gate math launched with per-step overhead — measured ~23 TFLOPs
+achieved on the fused encoder scan (overhead-bound). This kernel runs the
+WHOLE T-loop on-core with a grid of (L, T): the per-layer `w_hh` tile stays
+resident in VMEM across its layer's steps (Mosaic does not re-fetch a block
+whose index is unchanged), the hoisted input projections stream in through
+the automatic grid pipeline, and the hidden carry lives in an f32 VMEM
+scratch.
+
+The backward pass is a second kernel walking t in reverse (via the output
+index map), recomputing the gates from `pre` and `h_prev` (cheaper than
+persisting (L,T,B,3H) gate tensors to HBM) and accumulating `dW_hh`/`db_hh`
+directly into its VMEM-resident output blocks.
+
+Semantics are EXACTLY `ops.gru.stacked_gru_scan` (same gate math/order);
+equivalence of values and gradients is pinned by tests/test_pallas_gru.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _gates_f32(pre_x, pre_h, h):
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(pre_x[:, :H] + pre_h[:, :H])
+    z = jax.nn.sigmoid(pre_x[:, H:2 * H] + pre_h[:, H:2 * H])
+    n = jnp.tanh(pre_x[:, 2 * H:] + r * pre_h[:, 2 * H:])
+    return r, z, n, (1.0 - z) * n + z * h
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(precision, pre_ref, w_ref, b_ref, h0_ref, out_ref, h_c):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_c[:] = h0_ref[0].astype(F32)
+
+    h = h_c[:]
+    pre_x = pre_ref[0, 0].astype(F32)
+    pre_h = jax.lax.dot_general(
+        h, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32,
+        precision=precision) + b_ref[0].astype(F32)
+    _, _, _, h_new = _gates_f32(pre_x, pre_h, h)
+    h_c[:] = h_new
+    out_ref[0, 0] = h_new.astype(out_ref.dtype)
+
+
+def _fwd_pallas(pre, w_hh, b_hh, h0, precision=None):
+    L, T, B, G = pre.shape
+    H = h0.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, precision),
+        grid=(L, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, B, G), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B, H), lambda l, t: (l, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, T, B, H), pre.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(pre, w_hh, b_hh[:, None, :], h0)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(precision, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
+                dpre_ref, dw_ref, db_ref, dh0_ref, dh_c):
+    t_rev = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_c[:] = jnp.zeros_like(dh_c)
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+        db_ref[0] = jnp.zeros_like(db_ref[0])
+
+    h_prev = hprev_ref[0, 0].astype(F32)
+    pre_x = pre_ref[0, 0].astype(F32)
+    w = w_ref[0]
+    pre_h = jax.lax.dot_general(
+        h_prev, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=F32,
+        precision=precision) + b_ref[0].astype(F32)
+    r, z, n, _ = _gates_f32(pre_x, pre_h, h_prev)
+
+    H = h_prev.shape[-1]
+    hn_h = pre_h[:, 2 * H:]                      # hidden-side n preactivation
+
+    dh_total = g_ref[0, 0].astype(F32) + dh_c[:]
+    dn = dh_total * (1.0 - z)
+    dz = dh_total * (h_prev - n)
+    dan = dn * (1.0 - n * n)
+    dr = dan * hn_h
+    dhn_h = dan * r
+    dar = dr * r * (1.0 - r)
+    daz = dz * z * (1.0 - z)
+
+    dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)       # (B, 3H)
+    dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
+
+    # dh_prev = z * dh_total + dpre_h @ w^T
+    dh_prev = dh_total * z + jax.lax.dot_general(
+        dpre_h, w, (((1,), (1,)), ((), ())), preferred_element_type=F32,
+        precision=precision)
+    dh_c[:] = dh_prev
+
+    dpre_ref[0, 0] = dpre_x.astype(dpre_ref.dtype)
+    # accumulate weight/bias grads in the VMEM-resident output blocks
+    dw_ref[0] += jax.lax.dot_general(
+        h_prev, dpre_h, (((0,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision)
+    db_ref[0] += jnp.sum(dpre_h, axis=0, keepdims=True)
+
+    @pl.when(t_rev == T - 1)
+    def _():
+        dh0_ref[0] = dh_prev.astype(dh0_ref.dtype)
+
+
+def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
+    L, T, B, G = pre.shape
+    H = h_prev_seq.shape[-1]
+    rev = lambda l, t: (l, T - 1 - t, 0, 0)
+    dpre, dw, db, dh0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, precision),
+        grid=(L, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, T, B, G), pre.dtype),
+            jax.ShapeDtypeStruct((L, H, G), F32),
+            jax.ShapeDtypeStruct((L, 1, G), F32),
+            jax.ShapeDtypeStruct((L, B, H), F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(pre, h_prev_seq, g_seq, w_hh, b_hh[:, None, :])
+    return dpre, dw, db[:, 0, :], dh0
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def stacked_gru_pallas(pre: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
+                       h0: jax.Array, precision=None) -> jax.Array:
+    """Fused stacked-GRU forward: pre (L,T,B,3H) -> h_seq (L,T,B,H).
+    Same math as `ops.gru.stacked_gru_scan`. `precision` controls the MXU
+    input precision (None = backend default, matching XLA's training
+    matmuls; 'highest' = full f32 for parity checks)."""
+    return _fwd_pallas(pre, w_hh, b_hh, h0, precision)
+
+
+def _vjp_fwd(pre, w_hh, b_hh, h0, precision=None):
+    h_seq = _fwd_pallas(pre, w_hh, b_hh, h0, precision)
+    return h_seq, (pre, w_hh, b_hh, h0, h_seq)
+
+
+def _vjp_bwd(precision, res, g_seq):
+    pre, w_hh, b_hh, h0, h_seq = res
+    h_prev_seq = jnp.concatenate(
+        [h0[:, None].astype(h_seq.dtype), h_seq[:, :-1]], axis=1)
+    dpre, dw, db, dh0 = _bwd_pallas(pre, h_prev_seq,
+                                    g_seq.astype(pre.dtype), w_hh, b_hh,
+                                    precision)
+    return (dpre, dw.astype(w_hh.dtype), db.astype(b_hh.dtype),
+            dh0.astype(h0.dtype))
+
+
+stacked_gru_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def stacked_gru_scan_pallas(pre, w_hh, b_hh, h0,
+                            precision=None) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in for `ops.gru.stacked_gru_scan` with (L,T,B,3H)-major `pre`."""
+    h_seq = stacked_gru_pallas(pre, w_hh, b_hh, h0, precision)
+    return h_seq, h_seq[:, -1]

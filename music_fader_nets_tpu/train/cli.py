@@ -76,6 +76,9 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                     choices=["float32", "bfloat16"],
                     help="compute dtype: float32 (default, parity) or "
                          "bfloat16 mixed precision (~1.4x faster training)")
+    ap.add_argument("--pallas-gru", action="store_true",
+                    help="fused Pallas GRU training kernel (single-chip TPU;"
+                         " ~1.7x faster f32 training)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX platform (NB: the JAX_PLATFORMS env "
                          "var is ignored by the TPU plugin here; this flag "
@@ -103,6 +106,8 @@ def config_from_args(kind: str, args) -> ModelConfig:
         overrides["batch_size"] = args.batch_size
     if getattr(args, "dtype", None):
         overrides["dtype"] = args.dtype
+    if getattr(args, "pallas_gru", False):
+        overrides["use_pallas_gru"] = True
     if args.fixed_quirks:
         overrides.update(faithful_negative_beta=False,
                          faithful_subdecoder_softmax_axis=False,
