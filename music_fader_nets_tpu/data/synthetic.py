@@ -4,11 +4,17 @@ Produces arrays with the exact schema of the reference's cached corpus
 (`data/values_v3/{data,rhythm,note_density,chroma}.npy`, reference
 ptb_v2.py:336-339) so every downstream component — datasets, trainers,
 evaluators, benchmarks — runs without the (unreleased) Yamaha/VGMIDI MIDI
-corpora. Sequences follow the 342-token MidiPerformance grammar
-(note-on 2-89 / note-off 90-177 / time-shift 178-277 / velocity 278-341,
-EOS=1, PAD=0; reference ptb_v2.py:25-35, trainer_glsr.py:125-133) and the
-corpus invariants the reference filters for (rhythm starts with an onset,
-ptb_v2.py:264; top-3 chroma bins, ptb_v2.py:352-356).
+corpora.
+
+Segments are generated as NOTES on a 120bpm/beat-res-4 grid and pushed
+through the REAL tokenizer stack: performance tokens from
+`performance_encode`, rhythm/note-density/chroma from the quantized
+pianoroll — so tokens and attribute tracks are mutually consistent, exactly
+as in a corpus built from MIDI. (Earlier versions drew tokens and attributes
+independently, which made controllability training demos meaningless: the
+eval round trip measures attributes OF the generated tokens.) Corpus
+invariants the reference filters for hold by construction (rhythm starts
+with an onset, ptb_v2.py:264; top-3 chroma bins, ptb_v2.py:352-356).
 """
 from __future__ import annotations
 
@@ -19,10 +25,69 @@ import numpy as np
 from music_fader_nets_tpu.config import CHROMA_DIMS
 
 EOS = 1
-NOTE_ON_LO, NOTE_ON_HI = 2, 89        # pitch 21..108
-NOTE_OFF_LO, NOTE_OFF_HI = 90, 177
-SHIFT_LO, SHIFT_HI = 178, 277
-VEL_LO, VEL_HI = 278, 341
+STEP_SEC = 0.125          # 120 bpm, beat_resolution=4
+
+# a handful of diatonic pitch pools so chroma/key vary per segment
+_SCALES = [
+    [60, 62, 64, 65, 67, 69, 71, 72],       # C major
+    [57, 59, 60, 62, 64, 65, 68, 69],       # A minor (harmonic)
+    [62, 64, 66, 67, 69, 71, 73, 74],       # D major
+    [55, 57, 59, 60, 62, 64, 66, 67],       # G major
+    [65, 67, 69, 70, 72, 74, 76, 77],       # F major
+]
+
+
+def _gen_segment(rng, attr_len: int, max_tokens: int):
+    """One segment: notes on the grid with controlled onset density and
+    polyphony -> (tokens, rhythm, note_density, chroma) via the tokenizer."""
+    from music_fader_nets_tpu.tokenizer.attributes import get_music_attributes
+    from music_fader_nets_tpu.tokenizer.key_estimate import (
+        harmony_vector_from_notes,
+    )
+    from music_fader_nets_tpu.tokenizer.midi_io import MidiNote
+    from music_fader_nets_tpu.tokenizer.performance_codec import (
+        performance_encode,
+    )
+    from music_fader_nets_tpu.tokenizer.pianoroll import MidiData  # noqa: F401
+
+    scale = _SCALES[int(rng.integers(len(_SCALES)))]
+    onset_p = float(rng.uniform(0.3, 0.95))      # rhythm-density knob
+    max_poly = int(rng.integers(1, 5))           # note-density knob
+    notes = []
+    for t in range(attr_len):
+        if t == 0 or rng.random() < onset_p:
+            n_notes = int(rng.integers(1, max_poly + 1))
+            pitches = rng.choice(scale, size=min(n_notes, len(scale)),
+                                 replace=False)
+            dur_steps = int(rng.integers(1, 3))
+            for p in pitches:
+                notes.append(MidiNote(int(p), int(rng.integers(40, 120)),
+                                      t * STEP_SEC,
+                                      min(t + dur_steps, attr_len) * STEP_SEC))
+    notes.sort(key=lambda n: (n.start, n.pitch))
+
+    tokens = performance_encode(notes)
+    tokens.append(EOS)
+    if len(tokens) > max_tokens:
+        return None
+
+    # quantized roll on the same grid -> attributes
+    pr = np.zeros((attr_len, 128), np.uint8)
+    for n in notes:
+        s = int(round(n.start / STEP_SEC))
+        e = max(s + 1, int(round(n.end / STEP_SEC)))
+        pr[s: min(e, attr_len), n.pitch] = n.velocity
+    _, rhythm, note_density, _, _ = get_music_attributes(pr, beat=4)
+    if rhythm[0] != 1:
+        return None
+
+    chroma = harmony_vector_from_notes(notes)
+    if chroma is None:
+        return None
+    third = -np.sort(-chroma)[2]
+    chroma = np.where(chroma < third, 0.0, chroma)    # top-3 bins
+
+    return tokens, np.asarray(rhythm), np.asarray(note_density), chroma
 
 
 def synth_corpus(n_segments: int = 2048, seq_len: int = 100, attr_len: int = 16,
@@ -30,56 +95,39 @@ def synth_corpus(n_segments: int = 2048, seq_len: int = 100, attr_len: int = 16,
     """Returns (data (N, seq_len) int, rhythm (N, attr_len) int,
     note_density (N, attr_len) int, chroma (N, 24) float)."""
     rng = np.random.default_rng(seed)
-
     data = np.zeros((n_segments, seq_len), dtype=np.int64)
     rhythm = np.zeros((n_segments, attr_len), dtype=np.int64)
     note_density = np.zeros((n_segments, attr_len), dtype=np.int64)
     chroma = np.zeros((n_segments, CHROMA_DIMS), dtype=np.float64)
 
-    for i in range(n_segments):
-        # token stream: alternating chords of note-on(+vel) and time shifts,
-        # later note-offs — grammatically valid performance encoding.
-        toks = []
-        held = []
-        length_budget = rng.integers(seq_len // 2, seq_len - 1)
-        while len(toks) < length_budget - 2:
-            n_notes = int(rng.integers(1, 4))
-            for _ in range(n_notes):
-                pitch_tok = int(rng.integers(NOTE_ON_LO, NOTE_ON_HI + 1))
-                toks.append(pitch_tok)
-                toks.append(int(rng.integers(VEL_LO, VEL_HI + 1)))
-                held.append(pitch_tok)
-            toks.append(int(rng.integers(SHIFT_LO, SHIFT_HI + 1)))
-            if held and rng.random() < 0.5:
-                off = held.pop(int(rng.integers(len(held))))
-                toks.append(off - NOTE_ON_LO + NOTE_OFF_LO)
-        toks = toks[: seq_len - 1]
-        toks.append(EOS)
+    i = 0
+    guard = 0
+    while i < n_segments and guard < 20 * n_segments:
+        guard += 1
+        seg = _gen_segment(rng, attr_len, seq_len)
+        if seg is None:
+            continue
+        toks, r, nd, c = seg
         data[i, : len(toks)] = toks
-
-        # rhythm track: 3 classes, always starting with an onset (class 1)
-        rhythm[i] = rng.choice([0, 1, 2], size=attr_len, p=[0.25, 0.5, 0.25])
-        rhythm[i, 0] = 1
-
-        # note density per step, 0..15
-        note_density[i] = rng.integers(0, 13, size=attr_len)
-
-        # chroma: weighted key vector, top-3 bins kept (post-sanitization form)
-        full = rng.random(CHROMA_DIMS)
-        top3 = np.argsort(-full)[:3]
-        c = np.zeros(CHROMA_DIMS)
-        c[top3] = full[top3]
+        rhythm[i] = r
+        note_density[i] = nd
         chroma[i] = c
-
+        i += 1
+    if i < n_segments:
+        raise RuntimeError("synthetic generator failed to fill the corpus")
     return data, rhythm, note_density, chroma
 
 
 def synth_vgmidi(n_segments: int = 512, seq_len: int = 100, attr_len: int = 16,
                  seed: int = 778):
     """Synthetic VGMIDI-shaped corpus with arousal/valence labels
-    (reference ptb_v2.py:371-397)."""
-    data, rhythm, note, chroma = synth_corpus(n_segments, seq_len, attr_len, seed)
+    (reference ptb_v2.py:371-397). Arousal correlates with onset density so
+    the supervised GM-VAE branch has signal to learn."""
+    data, rhythm, note, chroma = synth_corpus(n_segments, seq_len, attr_len,
+                                              seed)
     rng = np.random.default_rng(seed + 1)
-    arousal = rng.uniform(-1.0, 1.0, size=n_segments)
+    r_density = (rhythm == 1).mean(axis=-1)
+    arousal = (r_density - r_density.mean()) * 2 + rng.normal(
+        0, 0.2, n_segments)
     valence = rng.uniform(-1.0, 1.0, size=n_segments)
     return data, rhythm, note, arousal, valence, chroma
