@@ -48,8 +48,6 @@ def _gen_segment(rng, attr_len: int, max_tokens: int):
     from music_fader_nets_tpu.tokenizer.performance_codec import (
         performance_encode,
     )
-    from music_fader_nets_tpu.tokenizer.pianoroll import MidiData  # noqa: F401
-
     scale = _SCALES[int(rng.integers(len(_SCALES)))]
     onset_p = float(rng.uniform(0.3, 0.95))      # rhythm-density knob
     max_poly = int(rng.integers(1, 5))           # note-density knob

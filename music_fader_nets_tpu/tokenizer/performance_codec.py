@@ -19,7 +19,7 @@ velocity bin changes, and gaps covered by TIME_SHIFTs of at most 100 steps.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from music_fader_nets_tpu.tokenizer.midi_io import MidiData, MidiNote
 

@@ -19,7 +19,6 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from music_fader_nets_tpu.tokenizer import attributes as attr_lib
-from music_fader_nets_tpu.tokenizer import event_codec
 from music_fader_nets_tpu.tokenizer import key_estimate
 from music_fader_nets_tpu.tokenizer import performance_codec
 from music_fader_nets_tpu.tokenizer.midi_io import MidiData, MidiNote, read_midi

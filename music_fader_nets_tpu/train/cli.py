@@ -11,10 +11,9 @@ import argparse
 import functools
 import os
 from datetime import datetime
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
-import numpy as np
 
 from music_fader_nets_tpu import models
 from music_fader_nets_tpu.config import ModelConfig, load_config
@@ -197,7 +196,6 @@ def save_timestamped(kind: str, args, state: TrainState):
 
 def _forward_for(kind: str, cfg: ModelConfig):
     """Model-appropriate forward for the reconstruction report."""
-    import jax.numpy as jnp
 
     def disentangled(fwd_fn):
         def f(params, rng, batch):

@@ -167,7 +167,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     gview = _global_view(params)
 
     def decode_fn(z_full):
-        return global_decoder_teacher(gview, z_full, x_oh[:, :steps])
+        return global_decoder_teacher(gview, z_full, x_oh[:, :steps],
+                                      use_pallas=cfg.use_pallas_gru)
 
     l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
                                 rng_glsr,

@@ -19,7 +19,7 @@ import numpy as np
 import optax
 
 from music_fader_nets_tpu.config import ModelConfig
-from music_fader_nets_tpu.data.loader import batch_iterator, num_batches
+from music_fader_nets_tpu.data.loader import batch_iterator
 from music_fader_nets_tpu.parallel import mesh as mesh_lib
 
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from music_fader_nets_tpu.config import ModelConfig
-from music_fader_nets_tpu.models.gmvae import reg_gmvae_encode, reg_gmvae_global_decode
+from music_fader_nets_tpu.models.gmvae import reg_gmvae_encode
 from music_fader_nets_tpu.ops.sampling import reparameterize
 from music_fader_nets_tpu.tokenizer.midi_io import MidiData, MidiNote, write_midi
 from music_fader_nets_tpu.tokenizer.performance_codec import performance_decode
