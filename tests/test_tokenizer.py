@@ -219,3 +219,30 @@ def test_corpus_feeds_training(midi_corpus):
     tr = Trainer(cfg, models.init_reg_vae, {"default": vanilla_loss})
     m = tr.run_epoch(ds.arrays(), seed=0)
     assert np.isfinite(m["loss"])
+
+
+def test_performance_codec_golden_stream():
+    """Pinned token stream for a fixed note list — regression guard for the
+    342-vocab encoder (velocity-bin changes, max-shift splitting, re-strike,
+    simultaneous on/off ordering)."""
+    notes = [
+        MidiNote(60, 80, 0.00, 0.50),
+        MidiNote(64, 90, 0.00, 0.25),
+        MidiNote(67, 70, 0.30, 0.80),
+        MidiNote(21, 127, 1.00, 2.50),
+        MidiNote(108, 1, 1.00, 1.10),
+        MidiNote(60, 80, 2.00, 2.20),   # re-strike
+    ]
+    golden = [317, 41, 322, 45, 202, 133, 182, 312, 48, 197, 129, 207, 136,
+              197, 341, 2, 278, 89, 187, 177, 267, 317, 41, 197, 129, 207,
+              90, 1]
+    assert performance_codec.performance_encode(notes, add_eos=True) == golden
+    # and with the native path forced off (pure Python must agree)
+    from music_fader_nets_tpu import native
+    flag = native.HAVE_NATIVE
+    try:
+        native.HAVE_NATIVE = False
+        assert performance_codec.performance_encode(
+            notes, add_eos=True) == golden
+    finally:
+        native.HAVE_NATIVE = flag
