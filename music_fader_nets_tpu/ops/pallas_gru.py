@@ -43,44 +43,64 @@ def _gates_f32(pre_x, pre_h, h):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(precision, pre_ref, w_ref, b_ref, h0_ref, out_ref, h_c):
+def _pick_l_block(L: int, B: int, H: int, G: int, itemsize: int) -> int:
+    """Largest L-block whose weights + double-buffered pre/out blocks +
+    carries fit a conservative VMEM budget. Bigger blocks amortize the
+    per-grid-step overhead over more MXU work (the recurrence is
+    overhead-bound: ~23 TFLOPs achieved at l_block=1)."""
+    budget = 13 * 1024 * 1024
+    for lb in range(L, 0, -1):
+        if L % lb:
+            continue
+        need = (lb * H * G * itemsize            # weights (resident)
+                + 2 * lb * B * G * itemsize      # pre blocks (double buffer)
+                + 2 * lb * B * H * itemsize      # out blocks
+                + 2 * lb * B * H * 4)            # f32 carry + headroom
+        if need <= budget:
+            return lb
+    return 1
+
+
+def _fwd_kernel(precision, lb, pre_ref, w_ref, b_ref, h0_ref, out_ref, h_c):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        h_c[:] = h0_ref[0].astype(F32)
+        h_c[:] = h0_ref[:].astype(F32)
 
-    h = h_c[:]
-    pre_x = pre_ref[0, 0].astype(F32)
-    pre_h = jax.lax.dot_general(
-        h, w_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=F32,
-        precision=precision) + b_ref[0].astype(F32)
-    _, _, _, h_new = _gates_f32(pre_x, pre_h, h)
-    h_c[:] = h_new
-    out_ref[0, 0] = h_new.astype(out_ref.dtype)
+    for j in range(lb):                      # unrolled over the L-block
+        h = h_c[j]
+        pre_x = pre_ref[j, 0].astype(F32)
+        pre_h = jax.lax.dot_general(
+            h, w_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+            precision=precision) + b_ref[j].astype(F32)
+        _, _, _, h_new = _gates_f32(pre_x, pre_h, h)
+        h_c[j] = h_new
+        out_ref[j, 0] = h_new.astype(out_ref.dtype)
 
 
 def _fwd_pallas(pre, w_hh, b_hh, h0, precision=None):
     L, T, B, G = pre.shape
     H = h0.shape[-1]
+    lb = _pick_l_block(L, B, H, G, pre.dtype.itemsize)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, precision),
-        grid=(L, T),
+        functools.partial(_fwd_kernel, precision, lb),
+        grid=(L // lb, T),
         in_specs=[
-            pl.BlockSpec((1, 1, B, G), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((lb, 1, B, G), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, G), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, B, H), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, B, H), lambda l, t: (l, t, 0, 0),
+        out_specs=pl.BlockSpec((lb, 1, B, H), lambda l, t: (l, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, T, B, H), pre.dtype),
-        scratch_shapes=[pltpu.VMEM((B, H), F32)],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(pre, w_hh, b_hh[:, None, :], h0)
@@ -91,7 +111,7 @@ def _fwd_pallas(pre, w_hh, b_hh, h0, precision=None):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(precision, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
+def _bwd_kernel(precision, lb, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
                 dpre_ref, dw_ref, db_ref, dh0_ref, dh_c):
     t_rev = pl.program_id(1)
     T = pl.num_programs(1)
@@ -99,74 +119,78 @@ def _bwd_kernel(precision, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
     @pl.when(t_rev == 0)
     def _():
         dh_c[:] = jnp.zeros_like(dh_c)
-        dw_ref[0] = jnp.zeros_like(dw_ref[0])
-        db_ref[0] = jnp.zeros_like(db_ref[0])
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+        db_ref[:] = jnp.zeros_like(db_ref[:])
 
-    h_prev = hprev_ref[0, 0].astype(F32)
-    pre_x = pre_ref[0, 0].astype(F32)
-    w = w_ref[0]
-    pre_h = jax.lax.dot_general(
-        h_prev, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=F32,
-        precision=precision) + b_ref[0].astype(F32)
-    r, z, n, _ = _gates_f32(pre_x, pre_h, h_prev)
+    for j in range(lb):                      # unrolled over the L-block
+        h_prev = hprev_ref[j, 0].astype(F32)
+        pre_x = pre_ref[j, 0].astype(F32)
+        w = w_ref[j]
+        pre_h = jax.lax.dot_general(
+            h_prev, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+            precision=precision) + b_ref[j].astype(F32)
+        r, z, n, _ = _gates_f32(pre_x, pre_h, h_prev)
 
-    H = h_prev.shape[-1]
-    hn_h = pre_h[:, 2 * H:]                      # hidden-side n preactivation
+        H = h_prev.shape[-1]
+        hn_h = pre_h[:, 2 * H:]              # hidden-side n preactivation
 
-    dh_total = g_ref[0, 0].astype(F32) + dh_c[:]
-    dn = dh_total * (1.0 - z)
-    dz = dh_total * (h_prev - n)
-    dan = dn * (1.0 - n * n)
-    dr = dan * hn_h
-    dhn_h = dan * r
-    dar = dr * r * (1.0 - r)
-    daz = dz * z * (1.0 - z)
+        dh_total = g_ref[j, 0].astype(F32) + dh_c[j]
+        dn = dh_total * (1.0 - z)
+        dz = dh_total * (h_prev - n)
+        dan = dn * (1.0 - n * n)
+        dr = dan * hn_h
+        dhn_h = dan * r
+        dar = dr * r * (1.0 - r)
+        daz = dz * z * (1.0 - z)
 
-    dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)       # (B, 3H)
-    dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
+        dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)   # (B, 3H)
+        dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
 
-    # dh_prev = z * dh_total + dpre_h @ w^T
-    dh_prev = dh_total * z + jax.lax.dot_general(
-        dpre_h, w, (((1,), (1,)), ((), ())), preferred_element_type=F32,
-        precision=precision)
-    dh_c[:] = dh_prev
+        # dh_prev = z * dh_total + dpre_h @ w^T
+        dh_prev = dh_total * z + jax.lax.dot_general(
+            dpre_h, w, (((1,), (1,)), ((), ())), preferred_element_type=F32,
+            precision=precision)
+        dh_c[j] = dh_prev
 
-    dpre_ref[0, 0] = dpre_x.astype(dpre_ref.dtype)
-    # accumulate weight/bias grads in the VMEM-resident output blocks
-    dw_ref[0] += jax.lax.dot_general(
-        h_prev, dpre_h, (((0,), (0,)), ((), ())),
-        preferred_element_type=F32, precision=precision)
-    db_ref[0] += jnp.sum(dpre_h, axis=0, keepdims=True)
+        dpre_ref[j, 0] = dpre_x.astype(dpre_ref.dtype)
+        # accumulate weight/bias grads in the VMEM-resident output blocks
+        dw_ref[j] += jax.lax.dot_general(
+            h_prev, dpre_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision)
+        db_ref[j] += jnp.sum(dpre_h, axis=0, keepdims=True)
 
-    @pl.when(t_rev == T - 1)
-    def _():
-        dh0_ref[0] = dh_prev.astype(dh0_ref.dtype)
+        @pl.when(t_rev == T - 1)
+        def _():
+            dh0_ref[j] = dh_prev.astype(dh0_ref.dtype)
 
 
 def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
     L, T, B, G = pre.shape
     H = h_prev_seq.shape[-1]
     rev = lambda l, t: (l, T - 1 - t, 0, 0)
+    # backward holds ~2x the forward's live blocks (g + hprev + dpre);
+    # halve the block budget by pretending doubled batch
+    lb = _pick_l_block(L, 2 * B, H, G, pre.dtype.itemsize)
     dpre, dw, db, dh0 = pl.pallas_call(
-        functools.partial(_bwd_kernel, precision),
-        grid=(L, T),
+        functools.partial(_bwd_kernel, precision, lb),
+        grid=(L // lb, T),
         in_specs=[
-            pl.BlockSpec((1, 1, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, G), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, 1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, G), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, 1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((lb, B, H), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -175,7 +199,7 @@ def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
             jax.ShapeDtypeStruct((L, 1, G), F32),
             jax.ShapeDtypeStruct((L, B, H), F32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), F32)],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(pre, h_prev_seq, g_seq, w_hh, b_hh[:, None, :])
