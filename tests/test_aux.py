@@ -5,7 +5,6 @@ import os
 
 import jax
 import numpy as np
-import pytest
 
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu import models

@@ -1,5 +1,4 @@
 """Controllability / reconstruction / transfer harness tests (tiny dims)."""
-import functools
 
 import jax
 import numpy as np

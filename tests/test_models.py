@@ -3,7 +3,6 @@ semantics (start token, teacher/greedy split, step-0 layer-2 init)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu import models

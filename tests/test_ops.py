@@ -6,7 +6,6 @@ storage)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 
 from music_fader_nets_tpu.ops.gru import (

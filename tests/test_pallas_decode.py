@@ -1,10 +1,8 @@
 """Pallas decode kernel: interpreter-mode equivalence with the XLA scan
 (on CPU; the compiled kernel is exercised on real TPU by bench/verify)."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
     global_decoder_greedy, global_decoder_init,
 )

@@ -7,7 +7,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from music_fader_nets_tpu.ops import pallas_gru
 from music_fader_nets_tpu.ops.gru import stacked_gru_scan

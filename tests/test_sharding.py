@@ -2,7 +2,6 @@
 (dp x tp) train step must match the single-device result bit-for-bit up to
 reduction order."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

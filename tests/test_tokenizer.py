@@ -204,7 +204,6 @@ def test_process_file_and_build_corpus(midi_corpus):
 
 def test_corpus_feeds_training(midi_corpus):
     """End-to-end: real MIDI -> corpus -> dataset -> one jitted train step."""
-    import jax
     from music_fader_nets_tpu.config import ModelConfig
     from music_fader_nets_tpu import models
     from music_fader_nets_tpu.data.datasets import YamahaDataset
