@@ -69,6 +69,9 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                     help="rebuild corpus from these MIDI directories")
     ap.add_argument("--synthetic-size", type=int, default=2048,
                     help="synthetic corpus size when no cache/MIDI exists")
+    ap.add_argument("--data-type", default="short", choices=["short", "long"],
+                    help="corpus variant: short = 4 beats/<=100 tokens, "
+                         "long = 16 beats/<=250 tokens (ptb_v2.py:301-303)")
     ap.add_argument("--mesh", default=None,
                     help="mesh shape as DATAxMODEL, e.g. 4x2 (default: 1 chip)")
     ap.add_argument("--dtype", default=None,
@@ -107,6 +110,8 @@ def config_from_args(kind: str, args) -> ModelConfig:
         overrides["dtype"] = args.dtype
     if getattr(args, "pallas_gru", False):
         overrides["use_pallas_gru"] = True
+    if getattr(args, "data_type", "short") == "long":
+        overrides.update(seq_len=250, attr_len=64)
     if args.fixed_quirks:
         overrides.update(faithful_negative_beta=False,
                          faithful_subdecoder_softmax_axis=False,
@@ -116,7 +121,8 @@ def config_from_args(kind: str, args) -> ModelConfig:
 
 
 def load_yamaha(args, cfg: ModelConfig):
-    data = get_classic_piano(cache_dir=args.data_dir,
+    data = get_classic_piano(data_type=getattr(args, "data_type", "short"),
+                             cache_dir=args.data_dir,
                              midi_dirs=args.midi_dirs,
                              n_synthetic=args.synthetic_size)
     return {mode: YamahaDataset(*data, mode=mode)
