@@ -1,0 +1,42 @@
+"""CLI integration: the public `python trainer.py` / `test_*_v2.py` surface
+driven as subprocesses on CPU (tiny sizes)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # single CPU device is fine here
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.mark.parametrize("extra", [[], ["--fixed-quirks"]])
+def test_trainer_cli_end_to_end(tmp_path, extra):
+    out = _run(["trainer.py", "--platform", "cpu", "--epochs", "1",
+                "--batch-size", "8", "--synthetic-size", "48",
+                "--save-dir", str(tmp_path)] + extra)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "train loss:" in out.stdout
+    assert "[test]" in out.stdout
+    # per-epoch checkpoint + timestamped copy on disk
+    ckpts = os.listdir(tmp_path)
+    assert any(c == "music_attr_vae_reg_vanilla" for c in ckpts)
+    assert any(c.startswith("music_attr_vae_reg_vanilla_2") for c in ckpts)
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    # random-init eval (warns, still produces the score block)
+    out = _run(["test_vanilla_v2.py", "--platform", "cpu", "--samples", "1",
+                "--eval-epochs", "1", "--decode-steps", "10",
+                "--synthetic-size", "48", "--batch-size", "8",
+                "--save-dir", str(tmp_path)])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Consistency:" in out.stdout
+    assert "Monotonicity:" in out.stdout
+    assert "latent stats:" in out.stdout
