@@ -30,6 +30,24 @@ def test_trainer_cli_end_to_end(tmp_path, extra):
     assert any(c.startswith("music_attr_vae_reg_vanilla_2") for c in ckpts)
 
 
+def test_dryrun_multichip_bootstraps_from_one_device():
+    """Regression for the round-1 driver failure (MULTICHIP_r01.json rc=1):
+    dryrun_multichip must self-bootstrap into an 8-device child even when the
+    calling process has already committed a 1-device backend."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert jax.device_count() == 1, jax.device_count(); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip ok" in out.stdout
+
+
 def test_eval_cli_end_to_end(tmp_path):
     # random-init eval (warns, still produces the score block)
     out = _run(["test_vanilla_v2.py", "--platform", "cpu", "--samples", "1",
