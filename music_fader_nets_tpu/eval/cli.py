@@ -72,6 +72,11 @@ def run_evaluation(kind: str, description: str, argv=None,
     ap.add_argument("--is_cvae", action="store_true",
                     help="(fader entry only) evaluate the plain CVAE instead "
                          "- mirrors the reference's --is_cvae flag")
+    ap.add_argument("--mean-z", action="store_true",
+                    help="slide around the posterior MEAN instead of a "
+                         "sampled z (the reference samples, "
+                         "test_class.py:233-254; mean-z removes the sampling "
+                         "noise from the consistency metric)")
     args = ap.parse_args(argv)
     if kind == "fader" and args.is_cvae:
         kind = "cvae"
@@ -105,7 +110,8 @@ def run_evaluation(kind: str, description: str, argv=None,
             ev = ControllabilityEvaluator(
                 params, cfg, encode, decode, target=target, epochs=ep,
                 num_of_samples=ns, decode_steps=args.decode_steps,
-                seed=args.seed, decode_tokens=decode_tokens)
+                seed=args.seed, decode_tokens=decode_tokens,
+                sample_z=not args.mean_z)
             ev.evaluate(yam["test"].arrays(), lo, hi,
                         stats["r_std"], stats["n_std"])
 
@@ -136,7 +142,7 @@ def run_evaluation(kind: str, description: str, argv=None,
                 params, cfg, models.single_vae_encode,
                 models.single_vae_global_decode, target=target, epochs=ep,
                 num_of_samples=ns, decode_steps=args.decode_steps,
-                seed=args.seed)
+                seed=args.seed, sample_z=not args.mean_z)
             ev.evaluate(yam["test"].arrays(), lo, hi,
                         stats["r_std"], stats["n_std"])
 
@@ -150,7 +156,7 @@ def run_evaluation(kind: str, description: str, argv=None,
             ev = ConditionControllabilityEvaluator(
                 params, cfg, encode, decode, target=target, epochs=ep,
                 num_of_samples=ns, decode_steps=args.decode_steps,
-                seed=args.seed)
+                seed=args.seed, sample_z=not args.mean_z)
             # condition values sweep k/8 in [0, 1) (test_cvae_v2.py:37,74-78)
             ev.evaluate(yam["test"].arrays(), 0.0, 1.0,
                         CVAE_R_STD, CVAE_N_STD)

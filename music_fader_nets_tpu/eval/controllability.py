@@ -104,7 +104,10 @@ def latent_stats(encode_batched: Callable, arrays: Dict[str, np.ndarray],
     z_r0, z_n0 = [], []
     n = len(arrays["x"])
     batch_size = min(batch_size, n)
-    for s in range(0, n - batch_size + 1, batch_size):
+    # full-corpus stats: the final partial batch is consumed too (the
+    # reference's DataLoader has drop_last=False) at the cost of one extra
+    # compile for the tail shape
+    for s in range(0, n, batch_size):
         batch = {k: v[s: s + batch_size] for k, v in arrays.items()}
         zr, zn = encode_batched(batch, jax.random.fold_in(rng, s))
         z_r0.append(np.asarray(zr[:, 0]))
@@ -130,7 +133,7 @@ def latent_monotonicity(encode_batched: Callable, arrays: Dict[str, np.ndarray],
     z_r0, z_n0, rd, nd = [], [], [], []
     n = len(arrays["x"])
     batch_size = min(batch_size, n)
-    for s in range(0, n - batch_size + 1, batch_size):
+    for s in range(0, n, batch_size):      # tail batch included
         batch = {k: v[s: s + batch_size] for k, v in arrays.items()}
         zr, zn = encode_batched(batch, jax.random.fold_in(rng, s))
         z_r0.append(np.asarray(zr[:, 0]))
@@ -171,10 +174,16 @@ class ControllabilityEvaluator:
                  epochs: int = 2, num_of_samples: int = 20,
                  decode_steps: int = 100, seed: int = 0,
                  verbose: bool = True,
-                 decode_tokens: Optional[Callable] = None):
+                 decode_tokens: Optional[Callable] = None,
+                 sample_z: bool = True):
         """decode_tokens: optional (params, z_full, steps) -> int tokens
         fast path (the Pallas VMEM-resident kernel); defaults to argmax over
-        `decode`'s log-probs."""
+        `decode`'s log-probs.
+
+        sample_z: True (reference-faithful, test_class.py:233-254 calls
+        `repar` on the posterior) draws z ~ q(z|x); False uses the posterior
+        MEAN, removing the sampling noise that inflates consistency variance
+        (the non-target latent dims then depend only on the input)."""
         self.params, self.cfg = params, cfg
         # jit the encoder (cached process-wide): its scans would otherwise
         # build eagerly, one RPC per op on a tunneled TPU
@@ -185,6 +194,7 @@ class ControllabilityEvaluator:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.verbose = verbose
+        self.sample_z = sample_z
         if decode_tokens is not None:
             # decode_tokens paths are module-level jits already — wrapping
             # them again would nest jits and defeat the compile cache
@@ -196,6 +206,9 @@ class ControllabilityEvaluator:
 
     # -- latent construction ------------------------------------------------
 
+    def _draw(self, key, mu, std):
+        return reparameterize(key, mu, std) if self.sample_z else mu
+
     def _z_batch_many(self, items: Dict[str, np.ndarray], values: np.ndarray,
                       key) -> jax.Array:
         """S test items -> (S*8, z_total) rows, target dim swept per item;
@@ -204,8 +217,8 @@ class ControllabilityEvaluator:
         x_oh = jax.nn.one_hot(items["x"], self.cfg.roll_dims)
         (mu_r, std_r), (mu_n, std_n) = self.encode(self.params, x_oh)
         kr, kn = jax.random.split(key)
-        z_r = jnp.repeat(reparameterize(kr, mu_r, std_r), V8, axis=0)
-        z_n = jnp.repeat(reparameterize(kn, mu_n, std_n), V8, axis=0)
+        z_r = jnp.repeat(self._draw(kr, mu_r, std_r), V8, axis=0)
+        z_n = jnp.repeat(self._draw(kn, mu_n, std_n), V8, axis=0)
         vals = jnp.tile(jnp.asarray(values, z_r.dtype), len(items["x"]))
         if self.target == "rhythm":
             z_r = z_r.at[:, 0].set(vals)
@@ -317,7 +330,7 @@ class SingleVAEControllabilityEvaluator(ControllabilityEvaluator):
         V8 = len(values)
         x_oh = jax.nn.one_hot(items["x"], self.cfg.roll_dims)
         mu, std = self.encode(self.params, x_oh)
-        z = jnp.repeat(reparameterize(key, mu, std), V8, axis=0)
+        z = jnp.repeat(self._draw(key, mu, std), V8, axis=0)
         vals = jnp.tile(jnp.asarray(values, z.dtype), len(items["x"]))
         dim = 0 if self.target == "rhythm" else 1
         z = z.at[:, dim].set(vals)
@@ -337,7 +350,7 @@ class ConditionControllabilityEvaluator(ControllabilityEvaluator):
         rd = jnp.asarray(items["r_density"], jnp.float32)[:, None]
         nd = jnp.asarray(items["n_density"], jnp.float32)[:, None]
         mu, std = self.encode(self.params, x_oh, rd, nd)
-        z = jnp.repeat(reparameterize(key, mu, std), V8, axis=0)
+        z = jnp.repeat(self._draw(key, mu, std), V8, axis=0)
         vals = jnp.tile(jnp.asarray(values, z.dtype),
                         len(items["x"]))[:, None]
         rd_col = jnp.repeat(rd, V8, axis=0).astype(z.dtype)

@@ -65,14 +65,17 @@ def reconstruction_report(params, forward: Callable, arrays: Dict,
     totals: Dict[str, float] = {}
     n_batches, n_items = 0, 0
     n = len(arrays["x"])
-    for s in range(0, n - batch_size + 1, batch_size):
+    # the final partial batch is consumed too (reference DataLoader has
+    # drop_last=False and averages per-batch means with equal weight,
+    # trainer.py:280-376) — one extra compile for the tail shape
+    for s in range(0, n, batch_size):
         batch = {k: v[s: s + batch_size] for k, v in arrays.items()}
         m = jax.device_get(batch_metrics(params, jax.random.fold_in(rng, s),
                                          batch))
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         n_batches += 1
-        n_items += batch_size
+        n_items += len(batch["x"])
 
     if n_batches == 0:
         return {}

@@ -65,6 +65,66 @@ def test_latent_stats(arrays):
     assert stats["r_std"] > 0 and stats["n_std"] > 0
 
 
+def test_latent_stats_consumes_tail_batch(arrays):
+    """Stats must cover exactly N items even when N % batch_size != 0: a
+    sentinel planted in the tail batch must show up in the min."""
+
+    def passthrough_encode(batch, rng):
+        # z[:, 0] := r_density, so z_r_min/max are corpus-wide density stats
+        col = jax.numpy.asarray(batch["r_density"],
+                                jax.numpy.float32)[:, None]
+        z = jax.numpy.broadcast_to(col, (col.shape[0], CFG.z_dims))
+        return z, z
+
+    sub = {k: np.array(v[:43]) for k, v in arrays.items()}  # 2*16 + 11 tail
+    sub["r_density"] = sub["r_density"].astype(np.float32)
+    sub["r_density"][42] = -99.0                             # last tail item
+    stats = latent_stats(passthrough_encode, sub, CFG, batch_size=16)
+    assert stats["z_r_min"] == -99.0
+
+
+def test_reconstruction_report_consumes_tail_batch(arrays):
+    params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
+    shapes = []
+
+    def forward(params, rng, batch):
+        shapes.append(batch["x"].shape[0])        # records traced shapes
+        x_oh = jax.nn.one_hot(batch["x"], CFG.roll_dims)
+        r_oh = jax.nn.one_hot(batch["r"], CFG.rhythm_dims)
+        n_oh = jax.nn.one_hot(batch["n"], CFG.note_dims)
+        return models.reg_vae_forward(params, rng, x_oh, r_oh, n_oh,
+                                      batch["c"], CFG)
+
+    sub = {k: v[:43] for k, v in arrays.items()}
+    rep = reconstruction_report(params, forward, sub, CFG, batch_size=16)
+    # the 11-row tail shape was traced, i.e. a tail batch really executed
+    assert sorted(set(shapes)) == [11, 16]
+    assert 0.0 <= rep["acc_x"] <= 1.0
+
+
+def test_mean_z_mode_is_deterministic(arrays):
+    """sample_z=False slides around the posterior mean: the constructed z
+    batch must not depend on the RNG key."""
+    params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
+    ev = ControllabilityEvaluator(
+        params, CFG, models.reg_vae_encode, models.reg_vae_global_decode,
+        target="rhythm", epochs=1, num_of_samples=2, decode_steps=10,
+        verbose=False, sample_z=False)
+    items = {k: v[:3] for k, v in arrays.items()}
+    vals = np.linspace(-1, 1, 8)
+    z1 = ev._z_batch_many(items, vals, jax.random.PRNGKey(1))
+    z2 = ev._z_batch_many(items, vals, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    # sampled mode differs across keys
+    ev_s = ControllabilityEvaluator(
+        params, CFG, models.reg_vae_encode, models.reg_vae_global_decode,
+        target="rhythm", epochs=1, num_of_samples=2, decode_steps=10,
+        verbose=False, sample_z=True)
+    s1 = ev_s._z_batch_many(items, vals, jax.random.PRNGKey(1))
+    s2 = ev_s._z_batch_many(items, vals, jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_controllability_evaluator_runs(arrays):
     params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
     ev = ControllabilityEvaluator(
