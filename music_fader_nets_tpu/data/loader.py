@@ -13,6 +13,36 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def shard_arrays_for_process(arrays: Dict[str, np.ndarray],
+                             process_index: Optional[int] = None,
+                             process_count: Optional[int] = None
+                             ) -> Dict[str, np.ndarray]:
+    """Slice a corpus dict to this host's shard for multi-host training.
+
+    Each process keeps a contiguous, equal-size slice (n // process_count
+    items) so every host yields the same number of fixed-shape batches —
+    required for the lockstep collective schedule of a pjit train loop.
+    The < process_count remainder items are dropped on every host (same
+    rationale as the loader's drop_last). Single process: arrays unchanged.
+
+    The reference is single-process (SURVEY.md §2.2); this is TPU-introduced,
+    mirroring the standard JAX multi-host recipe where each process feeds its
+    addressable shard of the global batch.
+    """
+    import jax
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    if pc <= 1:
+        return arrays
+    n = len(next(iter(arrays.values())))
+    per = n // pc
+    if per == 0:
+        raise ValueError(f"corpus of {n} items cannot be sharded over "
+                         f"{pc} processes")
+    start = pi * per
+    return {k: v[start: start + per] for k, v in arrays.items()}
+
+
 def batch_iterator(arrays: Dict[str, np.ndarray], batch_size: int,
                    shuffle: bool = True, seed: Optional[int] = None,
                    drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:

@@ -240,6 +240,7 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
     """The shared trainer main(): corpus -> fit (train+val per epoch,
     checkpoint per epoch + timestamped final) -> evaluation phase
     (CE/reg/accuracy on train+test), mirroring reference trainer.py:199-380."""
+    from music_fader_nets_tpu.data.loader import shard_arrays_for_process
     from music_fader_nets_tpu.eval.reconstruction import reconstruction_report
     from music_fader_nets_tpu.utils.logging import MetricsLogger
 
@@ -251,9 +252,15 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
     yam = load_yamaha(args, cfg)
     print("Train / Validation / Test")
     print(len(yam["train"]), len(yam["val"]), len(yam["test"]))
+    if jax.process_count() > 1:
+        # multi-host: each process trains on its contiguous corpus shard
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()} keeps 1/{jax.process_count()} "
+              "of each training split")
 
     if not dual_corpus:
-        trainer.fit(yam["train"].arrays(), yam["val"].arrays(),
+        trainer.fit(shard_arrays_for_process(yam["train"].arrays()),
+                    shard_arrays_for_process(yam["val"].arrays()),
                     n_epochs=cfg.n_epochs, checkpoint_fn=ck,
                     metrics_logger=logger)
     else:
@@ -263,16 +270,19 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
         for epoch in range(1, cfg.n_epochs + 1):
             print(f"Epoch {epoch} / {cfg.n_epochs}")
             # supervised VGMIDI phase (batch 32, reference trainer_gmm.py:88)
-            sup = trainer.run_epoch(vgm["train"].arrays(),
-                                    variant="supervised", seed=epoch,
-                                    batch_size=32)
-            sup_val = trainer.run_epoch(vgm["val"].arrays(),
-                                        variant="supervised", train=False,
-                                        batch_size=32, shuffle=False)
+            sup = trainer.run_epoch(
+                shard_arrays_for_process(vgm["train"].arrays()),
+                variant="supervised", seed=epoch, batch_size=32)
+            sup_val = trainer.run_epoch(
+                shard_arrays_for_process(vgm["val"].arrays()),
+                variant="supervised", train=False, batch_size=32,
+                shuffle=False)
             # unsupervised Yamaha phase
-            uns = trainer.run_epoch(yam["train"].arrays(), seed=epoch)
-            uns_val = trainer.run_epoch(yam["val"].arrays(), train=False,
-                                        shuffle=False)
+            uns = trainer.run_epoch(
+                shard_arrays_for_process(yam["train"].arrays()), seed=epoch)
+            uns_val = trainer.run_epoch(
+                shard_arrays_for_process(yam["val"].arrays()), train=False,
+                shuffle=False)
             print("vgmidi train - " + " ".join(
                 f"{k}: {v:.4f}" for k, v in sorted(sup.items())))
             print("vgmidi val   - " + " ".join(

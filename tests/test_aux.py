@@ -105,3 +105,46 @@ def test_get_average_av_values():
     a, v = res
     assert a.shape == (T,) and v.shape == (T,)
     assert get_average_av_values({}, "nope") is None
+
+
+def test_shard_arrays_for_process():
+    """Multi-host corpus slicing: equal contiguous shards, full coverage up
+    to the dropped remainder, no-op for a single process."""
+    from music_fader_nets_tpu.data.loader import shard_arrays_for_process
+    arrays = {"x": np.arange(35), "y": np.arange(35) * 2}
+
+    shards = [shard_arrays_for_process(arrays, process_index=i,
+                                       process_count=4) for i in range(4)]
+    assert all(len(s["x"]) == 8 for s in shards)          # 35 // 4
+    got = np.concatenate([s["x"] for s in shards])
+    np.testing.assert_array_equal(got, np.arange(32))     # 3 dropped, no dup
+    # keys sliced consistently
+    np.testing.assert_array_equal(shards[2]["y"], shards[2]["x"] * 2)
+
+    # single process: identity
+    same = shard_arrays_for_process(arrays, process_index=0, process_count=1)
+    assert same["x"] is arrays["x"]
+
+    # defaults pull jax.process_index/count (single-process here)
+    assert shard_arrays_for_process(arrays)["x"] is arrays["x"]
+
+    # unshardable corpus
+    import pytest
+    with pytest.raises(ValueError):
+        shard_arrays_for_process({"x": np.arange(3)}, process_index=0,
+                                 process_count=4)
+
+
+def test_trainer_epoch_on_process_shard():
+    """A simulated 2-process shard trains the same-shaped steps as the full
+    corpus (lockstep batch counts across hosts)."""
+    from music_fader_nets_tpu.data.loader import (
+        num_batches, shard_arrays_for_process,
+    )
+    arrays = YamahaDataset(*synth_corpus(64, 30, 8), mode="train").arrays()
+    s0 = shard_arrays_for_process(arrays, 0, 2)
+    s1 = shard_arrays_for_process(arrays, 1, 2)
+    assert num_batches(s0, CFG.batch_size) == num_batches(s1, CFG.batch_size)
+    tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
+    m = tr.run_epoch(s0, seed=0)
+    assert np.isfinite(m["loss"])

@@ -30,6 +30,48 @@ def test_trainer_cli_end_to_end(tmp_path, extra):
     assert any(c.startswith("music_attr_vae_reg_vanilla_2") for c in ckpts)
 
 
+def test_parity_harness_on_synthetic_standins(tmp_path):
+    """parity.py end-to-end on synthetic stand-ins for the released blobs:
+    an exported .pt (round-trip + torch forward parity + Table-1 eval) and a
+    canonical token array (re-encode check). The real artifacts drop in via
+    the same flags (VERDICT round-1 item 3)."""
+    gen = (
+        "import numpy as np, torch, jax; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        "from music_fader_nets_tpu.config import ModelConfig; "
+        "from music_fader_nets_tpu.models import init_reg_gmvae; "
+        "from music_fader_nets_tpu.utils.checkpoint import "
+        "params_to_torch_state_dict; "
+        "from music_fader_nets_tpu.tokenizer.performance_codec import "
+        "performance_encode; "
+        "from music_fader_nets_tpu.tokenizer.midi_io import MidiNote; "
+        "p = init_reg_gmvae(jax.random.PRNGKey(7), "
+        "ModelConfig(num_clusters=2)); "
+        "sd = {k: torch.from_numpy(np.array(v)) for k, v in "
+        "params_to_torch_state_dict(p).items()}; "
+        f"torch.save(sd, r'{tmp_path}/music_attr_vae_reg_gmm.pt'); "
+        "notes = [MidiNote(60 + i % 12, 64, 0.3 * i, 0.3 * i + 0.2) "
+        "for i in range(8)]; "
+        "t = performance_encode(notes, add_eos=True); "
+        f"np.save(r'{tmp_path}/song_tokens.npy', "
+        "np.stack([np.pad(t, (0, 120 - len(t)))]))"
+    )
+    out = subprocess.run([sys.executable, "-c", gen], cwd=REPO,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    out = _run(["parity.py", "--from-pt",
+                str(tmp_path / "music_attr_vae_reg_gmm.pt"),
+                "--tokens", str(tmp_path / "song_tokens.npy"),
+                "--platform", "cpu", "--synthetic-size", "48",
+                "--samples", "1", "--eval-epochs", "1",
+                "--decode-steps", "10"])
+    assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-1500:]
+    assert "PARITY: ALL PASS" in out.stdout
+    assert "converter round trip" in out.stdout
+    assert "100.00%" in out.stdout
+
+
 def test_dryrun_multichip_bootstraps_from_one_device():
     """Regression for the round-1 driver failure (MULTICHIP_r01.json rc=1):
     dryrun_multichip must self-bootstrap into an 8-device child even when the
