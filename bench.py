@@ -1,18 +1,20 @@
 """Benchmark driver: GM-VAE training throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "long_...": N}
 
 The north-star metric (BASELINE.md) is sequences/sec/chip on GM-VAE
-training. `vs_baseline` is the speedup over the measured PyTorch baseline
-(the reference publishes no numbers and is CUDA-only, so an equivalent
+training at the "short" corpus geometry (T=100, 16 attribute steps,
+reference ptb_v2.py:301). The same JSON line also carries the "long"
+variant (T=250, 64 attribute steps, ptb_v2.py:303) as `long_*` keys.
+`vs_baseline` is the speedup over the measured PyTorch baseline (the
+reference publishes no numbers and is CUDA-only, so an equivalent
 eager-PyTorch GM-VAE step is measured on this machine's CPU —
 benchmarks/torch_baseline.py — and cached in benchmarks/baseline_cache.json).
 """
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -21,7 +23,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_cache.json")
 
 
-def measure_jax(batch_size: int, seq_len: int, iters: int, dtype: str):
+def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
+                dtype: str, decode: bool = True):
     import jax
     # persistent compilation cache: repeated bench runs skip the (slow,
     # tunneled) XLA compile entirely
@@ -37,20 +40,20 @@ def measure_jax(batch_size: int, seq_len: int, iters: int, dtype: str):
     from music_fader_nets_tpu.train.objectives import gmm_loss
 
     # use_pallas_gru: fused whole-sequence GRU kernel with custom VJP —
-    # the fastest single-chip training config (f32 ~13.1k seq/s vs ~7.7k
-    # with the XLA scan at B=128/T=100)
+    # the fastest single-chip training config
     cfg = ModelConfig(num_clusters=2, batch_size=batch_size, seq_len=seq_len,
-                      dtype=dtype, use_pallas_gru=True)
-    yam = YamahaDataset(*synth_corpus(max(4 * batch_size, 512), seq_len, 16),
-                        mode="train")
+                      attr_len=attr_len, dtype=dtype, use_pallas_gru=True)
+    yam = YamahaDataset(*synth_corpus(max(4 * batch_size, 512), seq_len,
+                                      attr_len), mode="train")
     tr = Trainer(cfg, init_reg_gmvae, {"default": gmm_loss})
     step_t = tr.steady_state_step_time(yam.arrays(), iters=iters)
+    if not decode:
+        return batch_size / step_t, step_t, None
 
     # secondary north-star: p50 arousal-transfer decode latency (B=1, 300
     # steps) through the VMEM-resident Pallas kernel
     import time
     import numpy as np
-    import jax.numpy as jnp
     from music_fader_nets_tpu.models.vae import _global_view
     from music_fader_nets_tpu.ops.pallas_decode import greedy_decode_tokens
     z0 = jax.random.normal(jax.random.PRNGKey(0), (1, 2 * cfg.z_dims + 24))
@@ -72,8 +75,10 @@ def measure_jax(batch_size: int, seq_len: int, iters: int, dtype: str):
     return batch_size / step_t, step_t, (time.perf_counter() - t0) / N
 
 
-def measure_torch_baseline(batch_size: int, seq_len: int, refresh: bool):
-    key = f"gmvae_b{batch_size}_t{seq_len}"
+def measure_torch_baseline(batch_size: int, seq_len: int, attr_len: int,
+                           refresh: bool):
+    key = f"gmvae_b{batch_size}_t{seq_len}" + (
+        f"_a{attr_len}" if attr_len != 16 else "")
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -81,7 +86,8 @@ def measure_torch_baseline(batch_size: int, seq_len: int, refresh: bool):
     if key in cache and not refresh:
         return cache[key]
     from benchmarks.torch_baseline import train_step_time
-    t = train_step_time(batch_size=batch_size, seq_len=seq_len, iters=3)
+    t = train_step_time(batch_size=batch_size, seq_len=seq_len,
+                        attr_len=attr_len, iters=3)
     cache[key] = batch_size / t
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:
@@ -93,19 +99,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--seq-len", type=int, default=100)
+    ap.add_argument("--attr-len", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-long", action="store_true",
+                    help="measure only the short (T=100) variant")
     args = ap.parse_args()
 
     seqs_per_sec, step_t, decode_p50 = measure_jax(
-        args.batch_size, args.seq_len, args.iters, args.dtype)
-    if args.skip_baseline:
-        baseline = None
-    else:
-        baseline = measure_torch_baseline(args.batch_size, args.seq_len,
-                                          args.refresh_baseline)
+        args.batch_size, args.seq_len, args.attr_len, args.iters, args.dtype)
+    baseline = None if args.skip_baseline else measure_torch_baseline(
+        args.batch_size, args.seq_len, args.attr_len, args.refresh_baseline)
 
     result = {
         "metric": "gmvae_train_seqs_per_sec_per_chip",
@@ -113,11 +119,26 @@ def main():
         "unit": "seq/s",
         "vs_baseline": round(seqs_per_sec / baseline, 2) if baseline else None,
     }
+
+    long_note = ""
+    if not args.skip_long:
+        # long corpus variant: 64-step / <=250-token segments (ptb_v2.py:303)
+        l_sps, l_step_t, _ = measure_jax(
+            args.batch_size, 250, 64, args.iters, args.dtype, decode=False)
+        l_base = None if args.skip_baseline else measure_torch_baseline(
+            args.batch_size, 250, 64, args.refresh_baseline)
+        result["long_seqs_per_sec"] = round(l_sps, 1)
+        result["long_vs_baseline"] = (round(l_sps / l_base, 2)
+                                      if l_base else None)
+        long_note = (f"; long T=250 step={l_step_t * 1e3:.2f}ms "
+                     f"({l_sps:.1f} seq/s, torch-cpu {l_base and round(l_base, 1)})")
+
     print(json.dumps(result))
     print(f"# step={step_t * 1e3:.2f}ms B={args.batch_size} T={args.seq_len} "
           f"dtype={args.dtype}; p50 300-step B=1 decode="
           f"{decode_p50 * 1e3:.2f}ms (pallas); torch-cpu baseline="
-          f"{baseline and round(baseline, 1)} seq/s", file=sys.stderr)
+          f"{baseline and round(baseline, 1)} seq/s" + long_note,
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
