@@ -54,8 +54,9 @@ class ModelConfig:
     # --- TPU execution ---
     dtype: str = "float32"         # compute dtype for parity runs; "bfloat16" for speed
     # fused Pallas GRU scan (ops/pallas_gru.py) for training recurrences:
-    # ~2x f32 / ~1.6x bf16 on fwd+grad; single-chip TPU only (a pallas_call
-    # cannot be GSPMD-partitioned, so keep False under tp meshes)
+    # ~2x f32 on fwd+grad. Composes with pure-dp meshes via shard_map over
+    # the data axis (weight grads psum'd); under tp meshes (model axis > 1)
+    # the dispatch falls back to the GSPMD-partitionable XLA scan.
     use_pallas_gru: bool = False
     data_axis: str = "data"
     model_axis: str = "model"

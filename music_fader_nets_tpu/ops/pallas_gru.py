@@ -29,6 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 
+# Interpreter-mode escape hatch so CPU tests (and the driver's multichip
+# dryrun) can exercise the kernel + its shard_map composition without TPU
+# hardware. Consulted at trace time by every pallas_call below.
+INTERPRET = False
+
 
 def _gates_f32(pre_x, pre_h, h):
     H = h.shape[-1]
@@ -103,6 +108,7 @@ def _fwd_pallas(pre, w_hh, b_hh, h0, precision=None):
         scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
     )(pre, w_hh, b_hh[:, None, :], h0)
 
 
@@ -202,6 +208,7 @@ def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
         scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
     )(pre, h_prev_seq, g_seq, w_hh, b_hh[:, None, :])
     return dpre, dw, db[:, 0, :], dh0
 
@@ -245,3 +252,69 @@ def stacked_gru_scan_pallas(pre, w_hh, b_hh, h0,
     """Drop-in for `ops.gru.stacked_gru_scan` with (L,T,B,3H)-major `pre`."""
     h_seq = stacked_gru_pallas(pre, w_hh, b_hh, h0, precision)
     return h_seq, h_seq[:, -1]
+
+
+# ---------------------------------------------------------------------------
+# data-parallel composition: shard_map over the mesh's `data` axis
+# ---------------------------------------------------------------------------
+# A pallas_call cannot be GSPMD-partitioned, so under a mesh the kernel is
+# wrapped in a shard_map: each device runs the fused kernel on its batch
+# shard with replicated weights. Autodiff does NOT go through the shard_map —
+# this is a second custom_vjp whose fwd/bwd each shard_map the raw kernels,
+# with the weight/bias cotangents explicitly psum'd over `data` (the manual
+# equivalent of the gradient all-reduce GSPMD inserts on the XLA-scan path).
+
+
+def _dp_specs(axis):
+    from jax.sharding import PartitionSpec as P
+    return (P(None, None, axis, None),   # (L, T, B, G/H) batch-sharded
+            P(None, axis, None),         # (L, B, H) batch-sharded
+            P())                         # replicated weights/biases
+
+
+def _dp_fwd_impl(pre, w_hh, b_hh, h0, mesh, axis, precision):
+    b4, b3, rep = _dp_specs(axis)
+    f = jax.shard_map(
+        functools.partial(_fwd_pallas, precision=precision),
+        mesh=mesh, in_specs=(b4, rep, rep, b3), out_specs=b4,
+        check_vma=False)
+    return f(pre, w_hh, b_hh, h0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def stacked_gru_pallas_dp(pre: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
+                          h0: jax.Array, mesh, axis: str = "data",
+                          precision=None) -> jax.Array:
+    """`stacked_gru_pallas` over a pure-dp mesh (model axis size 1).
+    pre (L,T,B,3H) / h0 (L,B,H) are batch-sharded over `axis`; weights are
+    replicated. Gradients match the single-device kernel's."""
+    return _dp_fwd_impl(pre, w_hh, b_hh, h0, mesh, axis, precision)
+
+
+def _dp_vjp_fwd(pre, w_hh, b_hh, h0, mesh, axis, precision):
+    h_seq = _dp_fwd_impl(pre, w_hh, b_hh, h0, mesh, axis, precision)
+    return h_seq, (pre, w_hh, b_hh, h0, h_seq)
+
+
+def _dp_vjp_bwd(mesh, axis, precision, res, g_seq):
+    pre, w_hh, b_hh, h0, h_seq = res
+    h_prev_seq = jnp.concatenate(
+        [h0[:, None].astype(h_seq.dtype), h_seq[:, :-1]], axis=1)
+    b4, b3, rep = _dp_specs(axis)
+
+    def body(pre_, hprev_, g_, w_, b_):
+        dpre, dw, db, dh0 = _bwd_pallas(pre_, hprev_, g_, w_, b_, precision)
+        # weight/bias grads are partial sums over the local batch shard
+        return (dpre, jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
+
+    f = jax.shard_map(body, mesh=mesh,
+                  in_specs=(b4, b4, b4, rep, rep),
+                  out_specs=(b4, rep, rep, b3),
+                  check_vma=False)
+    dpre, dw, db, dh0 = f(pre, h_prev_seq, g_seq.astype(pre.dtype),
+                          w_hh, b_hh)
+    return (dpre, dw.astype(w_hh.dtype), db.astype(b_hh.dtype),
+            dh0.astype(h0.dtype))
+
+
+stacked_gru_pallas_dp.defvjp(_dp_vjp_fwd, _dp_vjp_bwd)

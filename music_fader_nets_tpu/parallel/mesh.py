@@ -20,6 +20,8 @@ Layout rules:
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional
 
 import jax
@@ -28,6 +30,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+# The mesh a train/eval step is being traced under. pallas_call cannot be
+# GSPMD-partitioned, so ops that dispatch to Pallas kernels consult this at
+# trace time to wrap the kernel in a shard_map over the `data` axis instead
+# (ops/gru.py::stacked_gru_scan). Set by Trainer around its jitted bodies.
+_TRACE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "music_fader_nets_trace_mesh", default=None)
+
+
+@contextlib.contextmanager
+def trace_mesh_scope(mesh: Optional[Mesh]):
+    token = _TRACE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _TRACE_MESH.reset(token)
+
+
+def current_trace_mesh() -> Optional[Mesh]:
+    return _TRACE_MESH.get()
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

@@ -77,29 +77,36 @@ class Trainer:
     def _build_train_step(self, loss_fn):
         cfg = self.cfg
         optimizer = self.optimizer
+        mesh = self.mesh
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng):
-            def lossf(params):
-                return loss_fn(params, rng, batch, state.step, cfg)
-            (loss, metrics), grads = jax.value_and_grad(
-                lossf, has_aux=True)(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), metrics
+            # expose the mesh to Pallas-dispatching ops during tracing
+            # (pallas_call is not GSPMD-partitionable; see ops/gru.py)
+            with mesh_lib.trace_mesh_scope(mesh):
+                def lossf(params):
+                    return loss_fn(params, rng, batch, state.step, cfg)
+                (loss, metrics), grads = jax.value_and_grad(
+                    lossf, has_aux=True)(state.params)
+                updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                      state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), metrics
 
         return train_step
 
     def _build_eval_step(self, loss_fn):
         cfg = self.cfg
+        mesh = self.mesh
 
         @jax.jit
         def eval_step(state: TrainState, batch, rng):
             # The reference evaluates with the model still in training mode
             # and no no_grad (trainer.py:232-252) — numerically the forward
             # is the same; we simply don't differentiate.
-            _, metrics = loss_fn(state.params, rng, batch, state.step, cfg)
+            with mesh_lib.trace_mesh_scope(mesh):
+                _, metrics = loss_fn(state.params, rng, batch, state.step,
+                                     cfg)
             return metrics
 
         return eval_step
@@ -111,6 +118,7 @@ class Trainer:
         single transfer returns the averaged metrics."""
         cfg = self.cfg
         optimizer = self.optimizer
+        mesh = self.mesh
 
         # donate state only when it is consumed and returned (training);
         # eval returns the state untouched and must not invalidate it
@@ -133,7 +141,8 @@ class Trainer:
                 _, metrics = lossf(state.params)
                 return state, metrics
 
-            state, metrics = jax.lax.scan(body, state, batches)
+            with mesh_lib.trace_mesh_scope(mesh):
+                state, metrics = jax.lax.scan(body, state, batches)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
         return epoch_fn

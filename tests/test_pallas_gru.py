@@ -14,10 +14,13 @@ from music_fader_nets_tpu.ops.gru import stacked_gru_scan
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
-    """Run every pallas_call in this module through the interpreter."""
+    """Run every pallas_call in this module through the interpreter.
+    pallas_gru.INTERPRET both enables interpretation at its call sites and
+    opens the CPU escape hatch in the stacked_gru_scan dispatch."""
     orig = pl.pallas_call
     monkeypatch.setattr(pl, "pallas_call",
                         functools.partial(orig, interpret=True))
+    monkeypatch.setattr(pallas_gru, "INTERPRET", True)
     yield
 
 
@@ -81,6 +84,68 @@ def test_bf16_forward():
     # bf16 storage, f32 carry: close to the f32 reference
     np.testing.assert_allclose(outs.astype(jnp.float32), outs_ref,
                                atol=6e-2)
+
+
+def test_dp_shard_map_matches_single_device():
+    """The pure-dp shard_map wrapper: forward + grads equal the single-device
+    kernel (which itself equals the scan) on an 8x1 mesh."""
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(8, 1)
+    pre, w, b, h0 = _case(L=2, T=6, B=16, H=8, seed=2)
+
+    def loss(impl):
+        def f(pre, w, b, h0):
+            h_seq = impl(pre, w, b, h0)
+            return jnp.sum(h_seq * jnp.sin(h_seq)) + jnp.sum(h_seq[:, -1] ** 2)
+        return f
+
+    dp = lambda pre, w, b, h0: pallas_gru.stacked_gru_pallas_dp(
+        pre, w, b, h0, mesh, mesh_lib.DATA_AXIS)
+    single = lambda pre, w, b, h0: pallas_gru.stacked_gru_pallas(
+        pre, w, b, h0)
+
+    np.testing.assert_allclose(dp(pre, w, b, h0), single(pre, w, b, h0),
+                               atol=1e-6)
+    g_dp = jax.grad(loss(dp), argnums=(0, 1, 2, 3))(pre, w, b, h0)
+    g_1 = jax.grad(loss(single), argnums=(0, 1, 2, 3))(pre, w, b, h0)
+    for a, b_ in zip(g_dp, g_1):
+        np.testing.assert_allclose(a, b_, atol=2e-5, rtol=1e-4)
+
+
+def test_trainer_dp_mesh_with_pallas_matches_single_device(monkeypatch):
+    """--mesh 8x1 + use_pallas_gru: one train step equals the single-device
+    XLA-scan trainer (the config.py promise that dp composes with the
+    kernel). INTERPRET (set by the autouse fixture) opens the CPU path."""
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+    from music_fader_nets_tpu.data.datasets import YamahaDataset
+    from music_fader_nets_tpu.data.synthetic import synth_corpus
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    from music_fader_nets_tpu.train import Trainer, vanilla_loss
+
+    cfg_scan = ModelConfig(hidden_dims=16, z_dims=8, batch_size=16,
+                           seq_len=24, attr_len=8)
+    cfg_pal = ModelConfig(hidden_dims=16, z_dims=8, batch_size=16,
+                          seq_len=24, attr_len=8, use_pallas_gru=True)
+    arrays = YamahaDataset(*synth_corpus(32, 24, 8), mode="train").arrays()
+    batch = {k: v[:16] for k, v in arrays.items()}
+
+    ref = Trainer(cfg_scan, models.init_reg_vae,
+                  {"default": vanilla_loss}, seed=5)
+    mesh = mesh_lib.make_mesh(8, 1)
+    dp = Trainer(cfg_pal, models.init_reg_vae,
+                 {"default": vanilla_loss}, mesh=mesh, seed=5)
+
+    rng = jax.random.PRNGKey(0)
+    ref_state, ref_m = ref._train_steps["default"](ref.state, batch, rng)
+    dp_state, dp_m = dp._train_steps["default"](
+        dp.state, mesh_lib.shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(dp_m["loss"]), float(ref_m["loss"]),
+                               rtol=2e-5)
+    a = np.asarray(ref_state.params["gru_r"]["fwd"]["w_hh"])
+    b_ = np.asarray(jax.device_get(dp_state.params["gru_r"]["fwd"]["w_hh"]))
+    np.testing.assert_allclose(a, b_, atol=2e-5)
 
 
 def test_model_forward_with_pallas_flag(monkeypatch):
