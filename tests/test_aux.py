@@ -5,6 +5,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu import models
@@ -43,6 +44,7 @@ def test_step_timer():
     assert s["n"] == 3 and s["p50_s"] >= 0
 
 
+@pytest.mark.slow
 def test_full_state_checkpoint_roundtrip(tmp_path):
     arrays = YamahaDataset(*synth_corpus(32, 30, 8), mode="train").arrays()
     tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})

@@ -6,6 +6,9 @@ import sys
 
 import pytest
 
+# whole-CLI subprocesses recompile everything from scratch — minutes each
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

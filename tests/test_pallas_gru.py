@@ -112,6 +112,7 @@ def test_dp_shard_map_matches_single_device():
         np.testing.assert_allclose(a, b_, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_trainer_dp_mesh_with_pallas_matches_single_device(monkeypatch):
     """--mesh 8x1 + use_pallas_gru: one train step equals the single-device
     XLA-scan trainer (the config.py promise that dp composes with the

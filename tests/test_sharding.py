@@ -26,6 +26,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(arrays, n_data, n_model):
     batch = {k: v[:16] for k, v in arrays.items()}
 
@@ -47,6 +48,7 @@ def test_sharded_step_matches_single_device(arrays, n_data, n_model):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gmm_sharded_runs(arrays):
     mesh = mesh_lib.make_mesh(4, 2)
     tr = Trainer(CFG, models.init_reg_gmvae, {"default": gmm_loss}, mesh=mesh)

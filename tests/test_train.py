@@ -57,6 +57,7 @@ def test_objectives_step(yamaha, init_fn, loss_fn):
     assert np.isfinite(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_gmm_dual_corpus(yamaha, vgmidi):
     tr = Trainer(CFG, models.init_reg_gmvae, {
         "default": gmm_loss,
@@ -69,6 +70,7 @@ def test_gmm_dual_corpus(yamaha, vgmidi):
     assert unsup["kld_class"] != 0.0  # unsupervised branch has the class KL
 
 
+@pytest.mark.slow
 def test_gradients_finite(yamaha):
     tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
     batch = {k: v[:8] for k, v in yamaha.items()}
@@ -85,6 +87,7 @@ def test_gradients_finite(yamaha):
     assert np.allclose(g_cr, 0.0)
 
 
+@pytest.mark.slow
 def test_frozen_logvar_lookup_not_updated(yamaha):
     tr = Trainer(CFG, models.init_reg_gmvae, {"default": gmm_loss})
     before = np.asarray(tr.params["logvar_r_lookup"]).copy()
@@ -93,6 +96,7 @@ def test_frozen_logvar_lookup_not_updated(yamaha):
     np.testing.assert_array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_bfloat16_mixed_precision(yamaha):
     """bf16 compute path: loss finite, decreasing, master params stay f32."""
     import jax.numpy as jnp
