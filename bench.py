@@ -46,7 +46,10 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
     yam = YamahaDataset(*synth_corpus(max(4 * batch_size, 512), seq_len,
                                       attr_len), mode="train")
     tr = Trainer(cfg, init_reg_gmvae, {"default": gmm_loss})
-    step_t = tr.steady_state_step_time(yam.arrays(), iters=iters)
+    # compiled whole-epoch path (what the trainer CLIs run): no per-step
+    # host dispatch, so the number reflects device throughput rather than
+    # the tunnel's load-dependent RPC latency
+    step_t = tr.compiled_step_time(yam.arrays(), iters=iters)
     if not decode:
         return batch_size / step_t, step_t, None
 
@@ -100,7 +103,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--seq-len", type=int, default=100)
     ap.add_argument("--attr-len", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")

@@ -1,0 +1,68 @@
+"""Quick A/B of the trainer steady-state step vs _pick_l_block policy."""
+import argparse
+
+import jax
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu.data.datasets import YamahaDataset
+from music_fader_nets_tpu.data.synthetic import synth_corpus
+from music_fader_nets_tpu.models import init_reg_gmvae
+from music_fader_nets_tpu.ops import pallas_gru
+from music_fader_nets_tpu.train import Trainer
+from music_fader_nets_tpu.train.objectives import gmm_loss
+
+
+def measure(dtype="float32", use_pallas=True):
+    cfg = ModelConfig(num_clusters=2, dtype=dtype, use_pallas_gru=use_pallas)
+    yam = YamahaDataset(*synth_corpus(512, cfg.seq_len, cfg.attr_len),
+                        mode="train")
+    tr = Trainer(cfg, init_reg_gmvae, {"default": gmm_loss})
+    t = tr.steady_state_step_time(yam.arrays(), iters=20)
+    return t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--policies", default="new,old")
+    args = ap.parse_args()
+    orig = pallas_gru._pick_l_block
+    for pol in args.policies.split(","):
+        if pol == "noembed":
+            # disable the embedded-token encoder kernel; generic pre-kernel
+            from music_fader_nets_tpu.ops import gru as gru_mod
+            saved = gru_mod._embed_kernel_dispatch
+            gru_mod._embed_kernel_dispatch = lambda B: (None, None)
+            try:
+                t = measure(args.dtype)
+            finally:
+                gru_mod._embed_kernel_dispatch = saved
+            print(f"policy={pol} dtype={args.dtype}: step={t * 1e3:.3f} ms "
+                  f"({128 / t:.0f} seq/s)", flush=True)
+            continue
+        if pol == "old":
+            def old(L, B, H, G, itemsize, bwd=False):
+                return orig(L, 2 * B if bwd else B, H, G, itemsize)
+            # old = 13MB budget, bwd pretends 2B; emulate via tiny budget
+            def old13(L, B, H, G, itemsize, bwd=False):
+                budget = 13 * 1024 * 1024
+                Bb = 2 * B if bwd else B
+                for lb in range(L, 0, -1):
+                    if L % lb:
+                        continue
+                    need = (lb * H * G * itemsize + 2 * lb * Bb * G * itemsize
+                            + 2 * lb * Bb * H * itemsize + 2 * lb * Bb * H * 4)
+                    if need <= budget:
+                        return lb
+                return 1
+            pallas_gru._pick_l_block = old13
+        else:
+            pallas_gru._pick_l_block = orig
+        t = measure(args.dtype)
+        print(f"policy={pol:4s} dtype={args.dtype}: step={t * 1e3:.3f} ms "
+              f"({128 / t:.0f} seq/s)", flush=True)
+    pallas_gru._pick_l_block = orig
+
+
+if __name__ == "__main__":
+    main()

@@ -23,26 +23,35 @@ def time_fn(fn, args, iters=30, h0_idx=3):
     otherwise swamp the kernel."""
     import numpy as np
 
-    def body(c, _):
-        a = list(args)
+    def body(a, c, _):
+        a = list(a)
         a[h0_idx] = a[h0_idx] + c.astype(a[h0_idx].dtype)
         out = fn(*a)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return leaf.ravel()[0].astype(jnp.float32) * jnp.float32(1e-30), ()
+        # touch EVERY output leaf: an unused output (e.g. the grads) would
+        # otherwise be dead-code-eliminated out of the timed loop entirely
+        s = sum(leaf.ravel()[0].astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(out))
+        return s * jnp.float32(1e-30), ()
 
-    g = jax.jit(lambda z: jax.lax.scan(body, z, None, length=iters)[0])
+    # NB args must be jit PARAMETERS: closed-over device arrays are inlined
+    # into the HLO as constants (here ~0.5GB) and the compile crawls
+    @jax.jit
+    def g(z, *a):
+        return jax.lax.scan(lambda c, x: body(a, c, x), z,
+                            None, length=iters)[0]
+
     z0 = jnp.float32(0.0)
-    float(np.asarray(g(z0)))          # compile + warm
+    float(np.asarray(g(z0, *args)))          # compile + warm
     t0 = time.perf_counter()
-    float(np.asarray(g(z0)))
+    float(np.asarray(g(z0, *args)))
     return (time.perf_counter() - t0) / iters
 
 
 def with_blocks(fwd_lb, bwd_lb, B):
     orig = pallas_gru._pick_l_block
 
-    def fake(Lk, Bk, Hk, Gk, isz):
-        return fwd_lb if Bk == B else bwd_lb
+    def fake(Lk, Bk, Hk, Gk, isz, bwd=False):
+        return bwd_lb if bwd else fwd_lb
     pallas_gru._pick_l_block = fake
     return orig
 

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
     encode_streams_fused,
-    encoder_stream_apply,
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
@@ -102,12 +101,14 @@ def reg_gmvae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
 
 
 def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
-                      cfg: ModelConfig, train: bool = True) -> Dict:
+                      cfg: ModelConfig, train: bool = True,
+                      tokens=None) -> Dict:
     """reference gmm_model.py:220-259; returns reconstruction outputs plus the
     per-stream mixture posteriors and inferred components."""
     pal = cfg.use_pallas_gru
     (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh,
-                                                  use_pallas=pal)
+                                                  use_pallas=pal,
+                                                  tokens=tokens)
     rng_r, rng_n = jax.random.split(rng)
     z_r = reparameterize(rng_r, mu_r, std_r)
     z_n = reparameterize(rng_n, mu_n, std_n)
@@ -124,7 +125,7 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     if train:
         out = global_decoder_teacher(_global_view(params), z, x_oh,
-                                     use_pallas=pal)
+                                     use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
 

@@ -62,7 +62,7 @@ def encoder_stream_apply(p, x_oh: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def encode_streams_fused(views: list, x_oh: jax.Array,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False, tokens=None):
     """All encoder streams' bi-GRU directions in ONE fused scan.
 
     Separate `lax.scan`s run sequentially under XLA, so S bidirectional
@@ -70,13 +70,17 @@ def encode_streams_fused(views: list, x_oh: jax.Array,
     them costs T sequential steps of one batched (2S,B,H)@(2S,H,3H)
     contraction. Returns a list of (mu, stddev) per stream — identical
     numerics to `encoder_stream_apply` per stream.
+
+    tokens: (B, T) int ids when x_oh is exactly one_hot(tokens) — routes to
+    the embedded-token pallas kernel on TPU (see multi_gru_final_states).
     """
     params, reverse = [], []
     for v in views:
         params += [v["gru"]["fwd"], v["gru"]["bwd"]]
         reverse += [False, True]
     finals = multi_gru_final_states(params, x_oh, reverse,
-                                    use_pallas=use_pallas)   # (2S, B, H)
+                                    use_pallas=use_pallas,
+                                    tokens=tokens)           # (2S, B, H)
     out = []
     for i, v in enumerate(views):
         h = jnp.concatenate([finals[2 * i], finals[2 * i + 1]], axis=-1)
@@ -187,7 +191,8 @@ def _decoder_step(p, pre_x, h1, h2, is_first):
 
 
 def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array,
-                           use_pallas: bool = False) -> jax.Array:
+                           use_pallas: bool = False,
+                           tokens: jax.Array = None) -> jax.Array:
     """Teacher-forced decode over the full sequence (training path).
 
     Inputs are `[start, x_0, ..., x_{T-2}]`; outputs predict `[x_0..x_{T-1}]`
@@ -207,6 +212,16 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array,
     first new state, model_v2.py:130-132) becomes h2_0 = h1_seq[0].
     """
     B, T, V = x_oh.shape
+
+    if use_pallas and tokens is not None:
+        from music_fader_nets_tpu.ops import pallas_gru
+        if pallas_gru.decoder_teacher_fused_applicable(B):
+            # fused 2-layer kernel: both GRU layers advance in one T-loop,
+            # teacher tokens embedded on-core (ops/pallas_gru.py)
+            h2_bt = pallas_gru.decoder_teacher_fused(p, z, tokens, V)
+            logits = linear_apply(p["linear_out_g"], h2_bt)
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
     w_tok, w_z = _split_w_ih(p, V)
     start = jnp.zeros((B, 1, V), x_oh.dtype).at[:, 0, V - 1].set(1.0)
     inputs = jnp.concatenate([start, x_oh[:, :-1]], axis=1)          # (B, T, V)

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
     encode_streams_fused,
-    encoder_stream_apply,
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
@@ -100,14 +99,15 @@ def init_reg_vae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     return p
 
 
-def reg_vae_encode(params, x_oh, use_pallas: bool = False
+def reg_vae_encode(params, x_oh, use_pallas: bool = False, tokens=None
                    ) -> Tuple[Tuple[jax.Array, jax.Array],
                               Tuple[jax.Array, jax.Array]]:
     """Returns ((mu_r, std_r), (mu_n, std_n)). reference model_v2.py:81-97.
-    Both streams' bi-GRU directions run in one fused scan."""
+    Both streams' bi-GRU directions run in one fused scan (the embedded-
+    token pallas kernel when `tokens` is given and x_oh = one_hot(tokens))."""
     (mu_r, std_r), (mu_n, std_n) = encode_streams_fused(
         [_enc_view(params, "r"), _enc_view(params, "n")], x_oh,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, tokens=tokens)
     return (mu_r, std_r), (mu_n, std_n)
 
 
@@ -124,16 +124,20 @@ def reg_vae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
 
 
 def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
-                    cfg: ModelConfig, train: bool = True) -> Dict:
+                    cfg: ModelConfig, train: bool = True,
+                    tokens=None) -> Dict:
     """Full training-path forward (reference model_v2.py:145-171).
 
     Teacher-forced when `train` (the reference's `eps=100` makes scheduled
     sampling a no-op — always teacher-forced, SURVEY.md §2.4); greedy
     otherwise. Returns log-prob outputs, distributions and latents.
+    `tokens`: optional (B, T) ids with x_oh = one_hot(tokens), for the
+    embedded-token encoder kernel.
     """
     pal = cfg.use_pallas_gru
     (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh,
-                                                  use_pallas=pal)
+                                                  use_pallas=pal,
+                                                  tokens=tokens)
     rng_r, rng_n = jax.random.split(rng)
     z_r = reparameterize(rng_r, mu_r, std_r)
     z_n = reparameterize(rng_n, mu_n, std_n)
@@ -145,7 +149,7 @@ def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     if train:
         out = global_decoder_teacher(_global_view(params), z, x_oh,
-                                     use_pallas=pal)
+                                     use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
 
@@ -176,19 +180,22 @@ def init_single_vae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     return p
 
 
-def single_vae_encode(params, x_oh):
+def single_vae_encode(params, x_oh, use_pallas: bool = False, tokens=None):
     view = {"gru": params["gru"], "mu": params["mu"], "var": params["var"]}
-    return encode_streams_fused([view], x_oh)[0]
+    return encode_streams_fused([view], x_oh, use_pallas=use_pallas,
+                                tokens=tokens)[0]
 
 
 def single_vae_forward(params, rng, x_oh, chroma, cfg: ModelConfig,
-                       train: bool = True) -> Dict:
+                       train: bool = True, tokens=None) -> Dict:
     """reference model_v2.py:264-285: forward takes (x, chroma) only."""
-    mu, std = single_vae_encode(params, x_oh)
+    pal = cfg.use_pallas_gru
+    mu, std = single_vae_encode(params, x_oh, use_pallas=pal, tokens=tokens)
     z = reparameterize(rng, mu, std)
     z_full = jnp.concatenate([z, chroma], axis=-1)
     if train:
-        out = global_decoder_teacher(_global_view(params), z_full, x_oh)
+        out = global_decoder_teacher(_global_view(params), z_full, x_oh,
+                                     use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z_full, x_oh.shape[1])
     return {"out": out, "mu": mu, "std": std, "z": z, "z_full": z_full}
@@ -232,13 +239,17 @@ def cvae_encode(params, x_oh, r_density, n_density):
 
 
 def cvae_forward(params, rng, x_oh, chroma, r_density, n_density,
-                 cfg: ModelConfig, train: bool = True) -> Dict:
+                 cfg: ModelConfig, train: bool = True, tokens=None) -> Dict:
     mu, std = cvae_encode(params, x_oh, r_density, n_density)
     z = reparameterize(rng, mu, std)
     z_full = jnp.concatenate(
         [z, r_density.astype(z.dtype), n_density.astype(z.dtype)], axis=-1)
     if train:
-        out = global_decoder_teacher(_global_view(params), z_full, x_oh)
+        # the CVAE encoder input is [one-hot, conditions] (not pure one-hot)
+        # so only the DECODER can take the fused token kernel
+        out = global_decoder_teacher(_global_view(params), z_full, x_oh,
+                                     use_pallas=cfg.use_pallas_gru,
+                                     tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z_full, x_oh.shape[1])
     return {"out": out, "mu": mu, "std": std, "z": z, "z_full": z_full}
@@ -271,17 +282,22 @@ def init_fader(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     return p
 
 
-def fader_encode(params, x_oh):
+def fader_encode(params, x_oh, use_pallas: bool = False, tokens=None):
     view = {"gru": params["gru_e"], "mu": params["mu"], "var": params["var"]}
-    return encode_streams_fused([view], x_oh)[0]
+    return encode_streams_fused([view], x_oh, use_pallas=use_pallas,
+                                tokens=tokens)[0]
 
 
 def fader_forward(params, rng, x_oh, chroma, r_density, n_density,
                   cfg: ModelConfig, train: bool = True,
-                  dropout_rng=None) -> Dict:
+                  dropout_rng=None, tokens=None) -> Dict:
     """reference model_v2.py:559-586. The discriminators see a
-    gradient-reversed z through ReLU + dropout(0.3)."""
-    mu, std = fader_encode(params, x_oh)
+    gradient-reversed z through ReLU + dropout(0.3).
+    The encoder ignores the conditions (pure one-hot input), so both the
+    embedded-token encoder kernel and the fused teacher-decoder kernel
+    apply when `tokens` is given."""
+    mu, std = fader_encode(params, x_oh, use_pallas=cfg.use_pallas_gru,
+                           tokens=tokens)
     rng_z, rng_d = jax.random.split(rng)
     z = reparameterize(rng_z, mu, std)
 
@@ -297,7 +313,9 @@ def fader_forward(params, rng, x_oh, chroma, r_density, n_density,
     z_full = jnp.concatenate(
         [z, r_density.astype(z.dtype), n_density.astype(z.dtype)], axis=-1)
     if train:
-        out = global_decoder_teacher(_global_view(params), z_full, x_oh)
+        out = global_decoder_teacher(_global_view(params), z_full, x_oh,
+                                     use_pallas=cfg.use_pallas_gru,
+                                     tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z_full, x_oh.shape[1])
     return {"out": out, "disc_r": disc_r, "disc_n": disc_n,

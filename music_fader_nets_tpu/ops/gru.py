@@ -182,15 +182,36 @@ def stacked_gru_scan(pre: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
     return jnp.swapaxes(outs, 0, 1), h_final
 
 
+def _embed_kernel_dispatch(B: int):
+    """Which embedded-token pallas path applies under the current backend /
+    trace mesh: 'single', 'dp', or None (fall back to the generic scan)."""
+    from music_fader_nets_tpu.ops import pallas_gru
+    if jax.default_backend() != "tpu" and not pallas_gru.INTERPRET:
+        return None, None
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.current_trace_mesh()
+    if mesh is None or mesh.size == 1:
+        return "single", None
+    n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
+    if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1 and B % n_data == 0:
+        return "dp", mesh
+    return None, None
+
+
 def multi_gru_final_states(params: list, x: jax.Array,
                            reverse: list,
-                           use_pallas: bool = False) -> jax.Array:
+                           use_pallas: bool = False,
+                           tokens: Optional[jax.Array] = None) -> jax.Array:
     """Final hidden states of L same-shaped GRUs over the SAME input
     sequence, fused into one scan. Used to run all bi-encoder directions
     (e.g. rhythm-fwd, rhythm-bwd, note-fwd, note-bwd) together.
 
     params: list of L GRU param dicts (same in_dim/hidden).
     reverse: list of L bools; True = consume x right-to-left.
+    tokens: optional (B, T) int32 ids when `x` is exactly one_hot(tokens) —
+    enables the embedded-token pallas kernel (ops/pallas_gru.py), which
+    folds the input projection into the recurrence on-core and never
+    materializes the (L,T,B,3H) pre/dpre tensors in HBM.
     Returns (L, B, H) final states (for reversed directions this is the
     state after consuming the whole sequence, i.e. the torch `h_n` entry).
     """
@@ -200,6 +221,28 @@ def multi_gru_final_states(params: list, x: jax.Array,
     b_ih = jnp.stack([p["b_ih"] for p in params])
     w_hh = jnp.stack([p["w_hh"] for p in params])
     b_hh = jnp.stack([p["b_hh"] for p in params])
+
+    if use_pallas and tokens is not None:
+        kind, mesh = _embed_kernel_dispatch(B)
+        if kind is not None:
+            from music_fader_nets_tpu.ops import pallas_gru
+            from music_fader_nets_tpu.parallel import mesh as mesh_lib
+            V = w_ih.shape[1]
+            Vp = ((V + 127) // 128) * 128
+            w_ih_p = jnp.pad(w_ih, ((0, 0), (0, Vp - V), (0, 0)))
+            tok_t = jnp.swapaxes(tokens.astype(jnp.int32), 0, 1)   # (T, B)
+            tok_lt = jnp.stack([jnp.flip(tok_t, axis=0) if r else tok_t
+                                for r in reverse])                 # (L, T, B)
+            h0 = jnp.zeros((len(params), B, H), x.dtype)
+            if kind == "single":
+                h_seq = pallas_gru.stacked_gru_embed_pallas(
+                    tok_lt, w_ih_p, b_ih, w_hh, b_hh, h0)
+            else:
+                h_seq = pallas_gru.stacked_gru_embed_pallas_dp(
+                    tok_lt, w_ih_p, b_ih, w_hh, b_hh, h0,
+                    mesh, mesh_lib.DATA_AXIS)
+            return h_seq[:, -1]
+
     # One big MXU matmul for every direction's full-sequence input proj.
     # Reversed directions consume the time-flipped INPUT (small) rather than
     # flipping the (L,T,B,3H) projection afterwards — avoids materializing a

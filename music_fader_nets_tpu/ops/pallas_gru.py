@@ -48,19 +48,33 @@ def _gates_f32(pre_x, pre_h, h):
 # ---------------------------------------------------------------------------
 
 
-def _pick_l_block(L: int, B: int, H: int, G: int, itemsize: int) -> int:
-    """Largest L-block whose weights + double-buffered pre/out blocks +
-    carries fit a conservative VMEM budget. Bigger blocks amortize the
-    per-grid-step overhead over more MXU work (the recurrence is
-    overhead-bound: ~23 TFLOPs achieved at l_block=1)."""
-    budget = 13 * 1024 * 1024
+def _pick_l_block(L: int, B: int, H: int, G: int, itemsize: int,
+                  bwd: bool = False) -> int:
+    """Largest L-block whose live VMEM set fits a conservative budget
+    (v5e VMEM is 128MB; pallas_call asks for 120MB — leave headroom for
+    Mosaic's own buffers). Bigger blocks amortize per-grid-step overhead
+    over more MXU work; a chip sweep (benchmarks/kernel_lb_sweep.py) shows
+    the largest fitting block is best for both passes, by a few percent.
+
+    The backward's live set is modeled explicitly: double-buffered
+    pre/h_prev/g inputs and dpre output, VMEM-resident w plus f32
+    dw/db/dh0 accumulators, and the f32 dh carry scratch."""
+    budget = 72 * 1024 * 1024
     for lb in range(L, 0, -1):
         if L % lb:
             continue
-        need = (lb * H * G * itemsize            # weights (resident)
-                + 2 * lb * B * G * itemsize      # pre blocks (double buffer)
-                + 2 * lb * B * H * itemsize      # out blocks
-                + 2 * lb * B * H * 4)            # f32 carry + headroom
+        if bwd:
+            need = lb * (2 * B * G * itemsize        # pre (double buffer)
+                         + 2 * 2 * B * H * itemsize  # h_prev + g (db)
+                         + 2 * B * G * itemsize      # dpre out (db)
+                         + H * G * itemsize          # w (resident)
+                         + H * G * 4                 # dw accumulator (f32)
+                         + 2 * B * H * 4)            # dh0 out + dh carry
+        else:
+            need = lb * (H * G * itemsize            # weights (resident)
+                         + 2 * B * G * itemsize      # pre blocks (db)
+                         + 2 * B * H * itemsize      # out blocks (db)
+                         + 2 * B * H * 4)            # f32 carry + headroom
         if need <= budget:
             return lb
     return 1
@@ -175,9 +189,7 @@ def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
     L, T, B, G = pre.shape
     H = h_prev_seq.shape[-1]
     rev = lambda l, t: (l, T - 1 - t, 0, 0)
-    # backward holds ~2x the forward's live blocks (g + hprev + dpre);
-    # halve the block budget by pretending doubled batch
-    lb = _pick_l_block(L, 2 * B, H, G, pre.dtype.itemsize)
+    lb = _pick_l_block(L, B, H, G, pre.dtype.itemsize, bwd=True)
     dpre, dw, db, dh0 = pl.pallas_call(
         functools.partial(_bwd_kernel, precision, lb),
         grid=(L // lb, T),
@@ -252,6 +264,727 @@ def stacked_gru_scan_pallas(pre, w_hh, b_hh, h0,
     """Drop-in for `ops.gru.stacked_gru_scan` with (L,T,B,3H)-major `pre`."""
     h_seq = stacked_gru_pallas(pre, w_hh, b_hh, h0, precision)
     return h_seq, h_seq[:, -1]
+
+
+# ---------------------------------------------------------------------------
+# token-embedded variant: encoder GRUs over one-hot token inputs
+# ---------------------------------------------------------------------------
+# The encoder consumes ONE-HOT tokens, so its hoisted input projection
+# x_oh @ w_ih is really an embedding lookup — and its input carries no
+# gradient. This kernel folds the lookup INTO the recurrence (per-step
+# iota-compare one-hot @ VMEM-resident w_ih, the pallas_decode.py pattern)
+# and the backward accumulates dW_ih/db_ih on-core, so the (L,T,B,3H) `pre`
+# and `dpre` tensors (315MB each at bench shapes) never exist in HBM.
+# Profiled on-chip: removes ~1.4ms/step of XLA glue (gather-fusion,
+# dW_ih matmul, db reduce, h_prev pads) on top of the DMA time saved.
+
+
+def _pick_l_block_embed(L, B, H, G, Vp, itemsize, bwd):
+    budget = 72 * 1024 * 1024
+    for lb in range(L, 0, -1):
+        if L % lb:
+            continue
+        common = (Vp * G * itemsize          # w_ih (resident)
+                  + H * G * itemsize         # w_hh (resident)
+                  + 2 * B * H * itemsize)    # tok one-hot scratch headroom
+        if bwd:
+            need = lb * (common
+                         + 2 * 2 * B * H * itemsize  # h_prev + g (db)
+                         + Vp * G * 4                # dw_ih acc (f32)
+                         + H * G * 4                 # dw_hh acc (f32)
+                         + 2 * B * H * 4)            # dh0 + dh carry
+        else:
+            need = lb * (common
+                         + 2 * B * H * itemsize      # out blocks (db)
+                         + 2 * B * H * 4)            # f32 carry
+        if need <= budget:
+            return lb
+    return 1
+
+
+def _embed_pre_x(tok, w_ih, b_ih, Vp, precision):
+    """(B,) int32 tokens -> (B, 3H) f32 input projection, on the MXU via an
+    iota-compare one-hot (tokens are < V <= Vp, pad rows never selected)."""
+    B = tok.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    onehot = (col == tok[:, None]).astype(w_ih.dtype)
+    return (jax.lax.dot_general(onehot, w_ih, (((1,), (0,)), ((), ())),
+                                preferred_element_type=F32,
+                                precision=precision)
+            + b_ih.astype(F32)), onehot
+
+
+def _fwd_embed_kernel(precision, lb, Vp,
+                      tok_ref, wih_ref, bih_ref, w_ref, b_ref, h0_ref,
+                      out_ref, h_c):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_c[:] = h0_ref[:].astype(F32)
+
+    for j in range(lb):
+        h = h_c[j]
+        pre_x, _ = _embed_pre_x(tok_ref[j, 0, 0], wih_ref[j], bih_ref[j],
+                                Vp, precision)
+        pre_h = jax.lax.dot_general(
+            h, w_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision
+        ) + b_ref[j].astype(F32)
+        _, _, _, h_new = _gates_f32(pre_x, pre_h, h)
+        h_c[j] = h_new
+        out_ref[j, 0] = h_new.astype(out_ref.dtype)
+
+
+def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
+                      out_dtype=None):
+    """tok_lt (L, T, B) int32 (already direction-flipped per layer);
+    w_ih (L, Vp, G); returns h_seq (L, T, B, H)."""
+    L, T, B = tok_lt.shape
+    H = h0.shape[-1]
+    G = w_hh.shape[-1]
+    Vp = w_ih.shape[1]
+    out_dtype = out_dtype or w_ih.dtype
+    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=False)
+    # tokens as (L, T, 1, B): Mosaic needs the trailing two block dims to
+    # be (8,128)-aligned or equal to the array dims — (1, B) qualifies
+    return pl.pallas_call(
+        functools.partial(_fwd_embed_kernel, precision, lb, Vp),
+        grid=(L // lb, T),
+        in_specs=[
+            pl.BlockSpec((lb, 1, 1, B), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, Vp, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, H), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lb, 1, B, H), lambda l, t: (l, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, T, B, H), out_dtype),
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tok_lt[:, :, None, :], w_ih, b_ih[:, None, :], w_hh,
+      b_hh[:, None, :], h0)
+
+
+def _bwd_embed_kernel(precision, lb, Vp, T,
+                      tok_ref, hseq_ref, h0_ref, g_ref, wih_ref, bih_ref,
+                      w_ref, b_ref,
+                      dwih_ref, dbih_ref, dw_ref, db_ref, dh0_ref, dh_c):
+    t_rev = pl.program_id(1)
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_c[:] = jnp.zeros_like(dh_c)
+        dwih_ref[:] = jnp.zeros_like(dwih_ref[:])
+        dbih_ref[:] = jnp.zeros_like(dbih_ref[:])
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+        db_ref[:] = jnp.zeros_like(db_ref[:])
+
+    for j in range(lb):
+        # h_prev: h_seq[t-1] streamed via the shifted index map; h0 at t=0
+        h_prev = jnp.where(t_rev == T - 1,
+                           h0_ref[j].astype(F32),
+                           hseq_ref[j, 0].astype(F32))
+        pre_x, onehot = _embed_pre_x(tok_ref[j, 0, 0], wih_ref[j],
+                                     bih_ref[j], Vp, precision)
+        w = w_ref[j]
+        pre_h = jax.lax.dot_general(
+            h_prev, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision
+        ) + b_ref[j].astype(F32)
+        r, z, n, _ = _gates_f32(pre_x, pre_h, h_prev)
+
+        H = h_prev.shape[-1]
+        hn_h = pre_h[:, 2 * H:]
+
+        dh_total = g_ref[j, 0].astype(F32) + dh_c[j]
+        dn = dh_total * (1.0 - z)
+        dz = dh_total * (h_prev - n)
+        dan = dn * (1.0 - n * n)
+        dr = dan * hn_h
+        dhn_h = dan * r
+        dar = dr * r * (1.0 - r)
+        daz = dz * z * (1.0 - z)
+
+        dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)    # (B, 3H)
+        dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
+
+        dh_prev = dh_total * z + jax.lax.dot_general(
+            dpre_h, w, (((1,), (1,)), ((), ())), preferred_element_type=F32,
+            precision=precision)
+        dh_c[j] = dh_prev
+
+        # input-side grads accumulate on-core: dW_ih += onehot^T @ dpre_x
+        dwih_ref[j] += jax.lax.dot_general(
+            onehot, dpre_x, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision)
+        dbih_ref[j] += jnp.sum(dpre_x, axis=0, keepdims=True)
+        dw_ref[j] += jax.lax.dot_general(
+            h_prev, dpre_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision)
+        db_ref[j] += jnp.sum(dpre_h, axis=0, keepdims=True)
+
+        @pl.when(t_rev == T - 1)
+        def _():
+            dh0_ref[j] = dh_prev.astype(dh0_ref.dtype)
+
+
+def _bwd_embed_pallas(tok_lt, h_seq, h0, g_seq, w_ih, b_ih, w_hh, b_hh,
+                      precision=None):
+    L, T, B = tok_lt.shape
+    H = h0.shape[-1]
+    G = w_hh.shape[-1]
+    Vp = w_ih.shape[1]
+    rev3 = lambda l, t: (l, T - 1 - t, 0, 0)
+    rev4 = lambda l, t: (l, T - 1 - t, 0, 0)
+    # h_prev stream: block t-1 of h_seq for step t = T-1-t_rev (clamped at
+    # the edge; the kernel substitutes h0 there)
+    prev4 = lambda l, t: (l, jnp.maximum(T - 2 - t, 0), 0, 0)
+    res = lambda l, t: (l, 0, 0)
+    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=True)
+    dwih, dbih, dw, db, dh0 = pl.pallas_call(
+        functools.partial(_bwd_embed_kernel, precision, lb, Vp, T),
+        grid=(L // lb, T),
+        in_specs=[
+            pl.BlockSpec((lb, 1, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, B, H), prev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, B, H), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, Vp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((lb, Vp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Vp, G), F32),
+            jax.ShapeDtypeStruct((L, 1, G), F32),
+            jax.ShapeDtypeStruct((L, H, G), F32),
+            jax.ShapeDtypeStruct((L, 1, G), F32),
+            jax.ShapeDtypeStruct((L, B, H), F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tok_lt[:, :, None, :], h_seq, h0, g_seq, w_ih, b_ih[:, None, :], w_hh,
+      b_hh[:, None, :])
+    return dwih, dbih[:, 0, :], dw, db[:, 0, :], dh0
+
+
+def _float0_like(x):
+    """Cotangent for an integer-dtype primal (custom_vjp convention)."""
+    import numpy as np
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def stacked_gru_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                             precision=None):
+    """Fused stacked GRU over ONE-HOT token inputs: the input projection is
+    an on-core embedding matmul of VMEM-resident w_ih (L, Vp, 3H); no
+    (L,T,B,3H) pre tensor exists. tok_lt (L, T, B) int32 is already
+    time-flipped for reversed directions and carries no gradient.
+    Returns h_seq (L, T, B, H). Same recurrence math as
+    `ops.gru.stacked_gru_scan`."""
+    return _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
+
+
+def _embed_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision):
+    h_seq = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
+    return h_seq, (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
+
+
+def _embed_vjp_bwd(precision, res, g_seq):
+    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
+    dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
+        tok_lt, h_seq, h0, g_seq.astype(h_seq.dtype), w_ih, b_ih, w_hh, b_hh,
+        precision)
+    return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
+            dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
+
+
+stacked_gru_embed_pallas.defvjp(_embed_vjp_fwd, _embed_vjp_bwd)
+
+
+def _embed_dp_specs(axis):
+    from jax.sharding import PartitionSpec as P
+    return (P(None, None, axis),         # tok (L, T, B)
+            P(None, None, axis, None),   # h_seq / g (L, T, B, H)
+            P(None, axis, None),         # h0 (L, B, H)
+            P())                         # weights replicated
+
+
+def _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
+                       precision):
+    tk, b4, b3, rep = _embed_dp_specs(axis)
+    f = jax.shard_map(
+        functools.partial(_fwd_embed_pallas, precision=precision),
+        mesh=mesh, in_specs=(tk, rep, rep, rep, rep, b3), out_specs=b4,
+        check_vma=False)
+    return f(tok_lt, w_ih, b_ih, w_hh, b_hh, h0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def stacked_gru_embed_pallas_dp(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                                mesh, axis: str = "data", precision=None):
+    """`stacked_gru_embed_pallas` over a pure-dp mesh: tokens and h0 are
+    batch-sharded, weights replicated, weight grads psum'd over `axis`."""
+    return _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                              mesh, axis, precision)
+
+
+def _embed_dp_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
+                      precision):
+    h_seq = _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                               mesh, axis, precision)
+    return h_seq, (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
+
+
+def _embed_dp_vjp_bwd(mesh, axis, precision, res, g_seq):
+    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
+    tk, b4, b3, rep = _embed_dp_specs(axis)
+
+    def body(tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_):
+        dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
+            tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_, precision)
+        return (jax.lax.psum(dwih, axis), jax.lax.psum(dbih, axis),
+                jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, b4, b3, b4, rep, rep, rep, rep),
+                      out_specs=(rep, rep, rep, rep, b3),
+                      check_vma=False)
+    dwih, dbih, dw, db, dh0 = f(tok_lt, h_seq, h0,
+                                g_seq.astype(h_seq.dtype),
+                                w_ih, b_ih, w_hh, b_hh)
+    return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
+            dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
+
+
+stacked_gru_embed_pallas_dp.defvjp(_embed_dp_vjp_fwd, _embed_dp_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused 2-layer teacher decoder
+# ---------------------------------------------------------------------------
+# Teacher forcing decouples the decoder's 2 GRUCell layers, but running them
+# as two consecutive L=1 kernels costs two T-step grids, an HBM round trip
+# for h1_seq and pre2, and XLA-side pre-construction fusions. h2[t] only
+# needs h1[t], so ONE kernel advances both layers in the same T-loop:
+# per step it embeds the teacher token (iota-compare one-hot @ VMEM-resident
+# w_tok + the precomputed z projection), updates layer 1, projects into
+# layer 2 and updates it — with the reference's step-0 quirk (layer 2's
+# previous hidden := layer 1's fresh state, reference model_v2.py:130-132)
+# as a select on t==0. The backward recomputes both layers' gates from the
+# h1/h2 residual streams and accumulates every weight/bias gradient in
+# VMEM-resident outputs; only dpre_z (B,3H) and dh1_0 (B,H) leave per-batch.
+
+
+def _dec_fwd_kernel(precision, Vp, tok_ref, wtok_ref, prez_ref,
+                    whh1_ref, bhh1_ref, wih2_ref, bih2_ref,
+                    whh2_ref, bhh2_ref, h10_ref,
+                    h1_out, h2_out, h1_c, h2_c):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h1_c[:] = h10_ref[:].astype(F32)
+        h2_c[:] = jnp.zeros_like(h2_c)
+
+    h1 = h1_c[:]
+    pre1, _ = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
+                           Vp, precision)
+    preh1 = jax.lax.dot_general(
+        h1, whh1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bhh1_ref[:].astype(F32)
+    _, _, _, h1n = _gates_f32(pre1, preh1, h1)
+
+    h2prev = jnp.where(t == 0, h1n, h2_c[:])
+    pre2 = jax.lax.dot_general(
+        h1n, wih2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bih2_ref[:].astype(F32)
+    preh2 = jax.lax.dot_general(
+        h2prev, whh2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bhh2_ref[:].astype(F32)
+    _, _, _, h2n = _gates_f32(pre2, preh2, h2prev)
+
+    h1_c[:] = h1n
+    h2_c[:] = h2n
+    h1_out[0] = h1n.astype(h1_out.dtype)
+    h2_out[0] = h2n.astype(h2_out.dtype)
+
+
+def _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                    whh2, bhh2, h1_0, precision=None):
+    """tok_t (T, B) int32 teacher tokens; returns (h1_seq, h2_seq) (T,B,H)."""
+    T, B = tok_t.shape
+    H = h1_0.shape[-1]
+    G = whh1.shape[-1]
+    Vp = w_tok.shape[0]
+    dt = w_tok.dtype
+    res2 = lambda t: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_dec_fwd_kernel, precision, Vp),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), res2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), dt),
+                   jax.ShapeDtypeStruct((T, B, H), dt)],
+        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tok_t[:, None, :], w_tok, pre_z, whh1, bhh1[None], wih2, bih2[None],
+      whh2, bhh2[None], h1_0)
+
+
+def _gate_bwd(dh_total, r, z, n, pre_h, h_prev):
+    """Shared GRU gate backward: returns (dpre_x, dpre_h, dh_prev_local)
+    where dh_prev_local excludes the pre_h @ w^T term."""
+    H = h_prev.shape[-1]
+    hn_h = pre_h[:, 2 * H:]
+    dn = dh_total * (1.0 - z)
+    dz = dh_total * (h_prev - n)
+    dan = dn * (1.0 - n * n)
+    dr = dan * hn_h
+    dhn_h = dan * r
+    dar = dr * r * (1.0 - r)
+    daz = dz * z * (1.0 - z)
+    dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)
+    dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
+    return dpre_x, dpre_h, dh_total * z
+
+
+def _dec_bwd_kernel(precision, Vp, T,
+                    tok_ref, h1_ref, h1p_ref, h2p_ref, g2_ref,
+                    wtok_ref, prez_ref, whh1_ref, bhh1_ref,
+                    wih2_ref, bih2_ref, whh2_ref, bhh2_ref, h10_ref,
+                    dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
+                    dh1_c, dh2_c):
+    tr = pl.program_id(0)                     # processing t = T-1-tr
+    first = tr == T - 1                       # i.e. t == 0
+
+    @pl.when(tr == 0)
+    def _():
+        dh1_c[:] = jnp.zeros_like(dh1_c)
+        dh2_c[:] = jnp.zeros_like(dh2_c)
+        for ref in (dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref):
+            ref[:] = jnp.zeros_like(ref[:])
+
+    h1 = h1_ref[0].astype(F32)
+    h1prev = jnp.where(first, h10_ref[:].astype(F32), h1p_ref[0].astype(F32))
+    h2prev = jnp.where(first, h1, h2p_ref[0].astype(F32))
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=F32,
+                                   precision=precision)
+
+    # ---- layer 2 ----
+    pre2 = dot(h1, wih2_ref[:], ((1,), (0,))) + bih2_ref[:].astype(F32)
+    preh2 = dot(h2prev, whh2_ref[:], ((1,), (0,))) + bhh2_ref[:].astype(F32)
+    r2, z2, n2, _ = _gates_f32(pre2, preh2, h2prev)
+    dh2 = g2_ref[0].astype(F32) + dh2_c[:]
+    dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2, h2prev)
+    dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
+    dwih2_ref[:] += dot(h1, dpre2x, ((0,), (0,)))
+    dbih2_ref[:] += jnp.sum(dpre2x, axis=0, keepdims=True)
+    dwhh2_ref[:] += dot(h2prev, dpreh2, ((0,), (0,)))
+    dbhh2_ref[:] += jnp.sum(dpreh2, axis=0, keepdims=True)
+
+    # dh1: from layer2's input projection, the t==0 h2_prev:=h1 quirk, and
+    # the carried recurrence cotangent
+    dh1 = (dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
+           + jnp.where(first, dh2prev, jnp.zeros_like(dh2prev)))
+    dh2_c[:] = jnp.where(first, jnp.zeros_like(dh2prev), dh2prev)
+
+    # ---- layer 1 ----
+    pre1, onehot = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
+                                Vp, precision)
+    preh1 = dot(h1prev, whh1_ref[:], ((1,), (0,))) + bhh1_ref[:].astype(F32)
+    r1, z1, n1, _ = _gates_f32(pre1, preh1, h1prev)
+    dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1, h1prev)
+    dh1prev = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
+    dh1_c[:] = dh1prev
+    dwtok_ref[:] += dot(onehot, dpre1x, ((0,), (0,)))
+    dprez_ref[:] += dpre1x
+    dwhh1_ref[:] += dot(h1prev, dpreh1, ((0,), (0,)))
+    dbhh1_ref[:] += jnp.sum(dpreh1, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        dh10_ref[:] = dh1prev.astype(dh10_ref.dtype)
+
+
+def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
+                    whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+                    precision=None):
+    T, B = tok_t.shape
+    H = h1_0.shape[-1]
+    G = whh1.shape[-1]
+    Vp = w_tok.shape[0]
+    rev_tok = lambda t: (T - 1 - t, 0, 0)
+    rev = lambda t: (T - 1 - t, 0, 0)
+    prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    res = lambda t: (0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_dec_bwd_kernel, precision, Vp, T),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), rev_tok, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), res, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), res, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Vp, G), F32),
+            jax.ShapeDtypeStruct((B, G), F32),
+            jax.ShapeDtypeStruct((H, G), F32),
+            jax.ShapeDtypeStruct((1, G), F32),
+            jax.ShapeDtypeStruct((H, G), F32),
+            jax.ShapeDtypeStruct((1, G), F32),
+            jax.ShapeDtypeStruct((H, G), F32),
+            jax.ShapeDtypeStruct((1, G), F32),
+            jax.ShapeDtypeStruct((B, H), F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tok_t[:, None, :], h1_seq, h1_seq, h2_seq, g2_seq,
+      w_tok, pre_z, whh1, bhh1[None], wih2, bih2[None], whh2, bhh2[None],
+      h1_0)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = outs
+    return (dwtok, dprez, dwhh1, dbhh1[0], dwih2, dbih2[0],
+            dwhh2, dbhh2[0], dh10)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _dec_teacher_core(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                      whh2, bhh2, h1_0, precision=None):
+    h1_seq, h2_seq = _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1,
+                                     wih2, bih2, whh2, bhh2, h1_0, precision)
+    return h2_seq
+
+
+def _dec_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                 whh2, bhh2, h1_0, precision):
+    h1_seq, h2_seq = _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1,
+                                     wih2, bih2, whh2, bhh2, h1_0, precision)
+    return h2_seq, (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+                    wih2, bih2, whh2, bhh2, h1_0)
+
+
+def _dec_vjp_bwd(precision, res, g2):
+    (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+     wih2, bih2, whh2, bhh2, h1_0) = res
+    grads = _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2.astype(h2_seq.dtype),
+                            w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                            whh2, bhh2, h1_0, precision)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = grads
+    return (_float0_like(tok_t), dwtok.astype(w_tok.dtype),
+            dprez.astype(pre_z.dtype), dwhh1.astype(whh1.dtype),
+            dbhh1.astype(bhh1.dtype), dwih2.astype(wih2.dtype),
+            dbih2.astype(bih2.dtype), dwhh2.astype(whh2.dtype),
+            dbhh2.astype(bhh2.dtype), dh10.astype(h1_0.dtype))
+
+
+_dec_teacher_core.defvjp(_dec_vjp_fwd, _dec_vjp_bwd)
+
+
+def _dec_dp_specs(axis):
+    from jax.sharding import PartitionSpec as P
+    return (P(None, None, axis),     # tok_t as (T, 1->B?) — see below
+            P(None, axis, None),     # (T, B, H) streams
+            P(axis, None),           # (B, G/H) per-batch
+            P())                     # replicated weights
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _dec_teacher_core_dp(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                         whh2, bhh2, h1_0, mesh, axis="data",
+                         precision=None):
+    """Fused teacher decoder over a pure-dp mesh: tokens/pre_z/h1_0 are
+    batch-sharded, weights replicated, weight grads psum'd."""
+    _, b4, bb, rep = _dec_dp_specs(axis)
+    from jax.sharding import PartitionSpec as P
+    tk = P(None, axis)
+
+    def body(tok_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
+             h10_):
+        _, h2 = _dec_fwd_pallas(tok_, wtok_, prez_, whh1_, bhh1_, wih2_,
+                                bih2_, whh2_, bhh2_, h10_, precision)
+        return h2
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, rep, bb, rep, rep, rep, rep, rep, rep,
+                                bb),
+                      out_specs=b4, check_vma=False)
+    return f(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0)
+
+
+def _dec_dp_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                    whh2, bhh2, h1_0, mesh, axis, precision):
+    _, b4, bb, rep = _dec_dp_specs(axis)
+    from jax.sharding import PartitionSpec as P
+    tk = P(None, axis)
+
+    def body(tok_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
+             h10_):
+        return _dec_fwd_pallas(tok_, wtok_, prez_, whh1_, bhh1_, wih2_,
+                               bih2_, whh2_, bhh2_, h10_, precision)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, rep, bb, rep, rep, rep, rep, rep, rep,
+                                bb),
+                      out_specs=(b4, b4), check_vma=False)
+    h1_seq, h2_seq = f(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                       whh2, bhh2, h1_0)
+    return h2_seq, (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+                    wih2, bih2, whh2, bhh2, h1_0)
+
+
+def _dec_dp_vjp_bwd(mesh, axis, precision, res, g2):
+    (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+     wih2, bih2, whh2, bhh2, h1_0) = res
+    _, b4, bb, rep = _dec_dp_specs(axis)
+    from jax.sharding import PartitionSpec as P
+    tk = P(None, axis)
+
+    def body(tok_, h1s_, h2s_, g2_, wtok_, prez_, whh1_, bhh1_, wih2_,
+             bih2_, whh2_, bhh2_, h10_):
+        out = _dec_bwd_pallas(tok_, h1s_, h2s_, g2_, wtok_, prez_,
+                              whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
+                              h10_, precision)
+        (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = out
+        return (jax.lax.psum(dwtok, axis), dprez,
+                jax.lax.psum(dwhh1, axis), jax.lax.psum(dbhh1, axis),
+                jax.lax.psum(dwih2, axis), jax.lax.psum(dbih2, axis),
+                jax.lax.psum(dwhh2, axis), jax.lax.psum(dbhh2, axis), dh10)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, b4, b4, b4, rep, bb, rep, rep, rep, rep,
+                                rep, rep, bb),
+                      out_specs=(rep, bb, rep, rep, rep, rep, rep, rep, bb),
+                      check_vma=False)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbib2, dwhh2, dbhh2, dh10) = f(
+        tok_t, h1_seq, h2_seq, g2.astype(h2_seq.dtype), w_tok, pre_z,
+        whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0)
+    return (_float0_like(tok_t), dwtok.astype(w_tok.dtype),
+            dprez.astype(pre_z.dtype), dwhh1.astype(whh1.dtype),
+            dbhh1.astype(bhh1.dtype), dwih2.astype(wih2.dtype),
+            dbib2.astype(bih2.dtype), dwhh2.astype(whh2.dtype),
+            dbhh2.astype(bhh2.dtype), dh10.astype(h1_0.dtype))
+
+
+_dec_teacher_core_dp.defvjp(_dec_dp_vjp_fwd, _dec_dp_vjp_bwd)
+
+
+def decoder_teacher_fused(p: dict, z, tokens, V: int, precision=None):
+    """Public fused teacher decode: p is the `_global_view` param dict,
+    tokens (B, T) the target ids (teacher inputs are [start; tokens[:-1]],
+    start = one-hot at the LAST vocab index, reference model_v2.py:119-120).
+    Returns h2_seq as (B, T, H); the logits head stays outside (one large
+    MXU matmul over T*B rows)."""
+    B, T = tokens.shape
+    w_ih = p["grucell_g"]["w_ih"]
+    Vp = ((V + 127) // 128) * 128
+    w_tok = jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0)))
+    w_z = w_ih[V:]
+    pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
+    start = jnp.full((B, 1), V - 1, jnp.int32)
+    tok_t = jnp.swapaxes(
+        jnp.concatenate([start, tokens[:, :-1].astype(jnp.int32)], axis=1),
+        0, 1)                                                   # (T, B)
+    args = (tok_t, w_tok, pre_z.astype(w_tok.dtype), p["grucell_g"]["w_hh"],
+            p["grucell_g"]["b_hh"], p["grucell_g_2"]["w_ih"],
+            p["grucell_g_2"]["b_ih"], p["grucell_g_2"]["w_hh"],
+            p["grucell_g_2"]["b_hh"], h1_0.astype(w_tok.dtype))
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.current_trace_mesh()
+    if mesh is not None and mesh.size > 1:
+        h2_seq = _dec_teacher_core_dp(*args, mesh, mesh_lib.DATA_AXIS,
+                                      precision)
+    else:
+        h2_seq = _dec_teacher_core(*args, precision)
+    return jnp.swapaxes(h2_seq, 0, 1)                           # (B, T, H)
+
+
+def decoder_teacher_fused_applicable(B: int) -> bool:
+    """True when the fused decoder kernel can run here: TPU (or interpret
+    mode), and any active mesh is pure-dp with a divisible batch."""
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return False
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.current_trace_mesh()
+    if mesh is None or mesh.size == 1:
+        return True
+    n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
+    return (mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1
+            and B % n_data == 0)
 
 
 # ---------------------------------------------------------------------------

@@ -80,7 +80,7 @@ def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.reg_vae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
-                              cfg, train=train)
+                              cfg, train=train, tokens=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
@@ -105,7 +105,7 @@ def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = gmvae.reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
-                                  cfg, train=train)
+                                  cfg, train=train, tokens=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
@@ -156,7 +156,7 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     x_oh, r_oh, n_oh = _one_hots(batch, cfg)
     rng_fwd, rng_glsr = jax.random.split(rng)
     fwd = vae.reg_vae_forward(params, rng_fwd, x_oh, r_oh, n_oh, batch["c"],
-                              cfg, train=train)
+                              cfg, train=train, tokens=batch["x"])
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
@@ -168,7 +168,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
 
     def decode_fn(z_full):
         return global_decoder_teacher(gview, z_full, x_oh[:, :steps],
-                                      use_pallas=cfg.use_pallas_gru)
+                                      use_pallas=cfg.use_pallas_gru,
+                                      tokens=batch["x"][:, :steps])
 
     l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
                                 rng_glsr,
@@ -190,7 +191,7 @@ def cvae_loss(params, rng, batch, step, cfg: ModelConfig,
     rd = batch["r_density"][:, None].astype(dt)
     nd = batch["n_density"][:, None].astype(dt)
     fwd = vae.cvae_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
-                           train=train)
+                           train=train, tokens=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = nll_mean(fwd["out"], batch["x"])
     kld = kl_std_normal(fwd["mu"], fwd["std"])
@@ -211,7 +212,7 @@ def fader_loss(params, rng, batch, step, cfg: ModelConfig,
     rd = batch["r_density"][:, None].astype(dt)
     nd = batch["n_density"][:, None].astype(dt)
     fwd = vae.fader_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
-                            train=train)
+                            train=train, tokens=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = nll_mean(fwd["out"], batch["x"])
     kld = kl_std_normal(fwd["mu"], fwd["std"])
@@ -236,7 +237,7 @@ def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, _, _ = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.single_vae_forward(params, rng, x_oh, batch["c"], cfg,
-                                 train=train)
+                                 train=train, tokens=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = nll_mean(fwd["out"], batch["x"])
     kld = kl_std_normal(fwd["mu"], fwd["std"])

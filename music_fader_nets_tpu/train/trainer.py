@@ -259,6 +259,44 @@ class Trainer:
     def params(self):
         return self.state.params
 
+    def compiled_step_time(self, arrays, variant: str = "default",
+                           iters: int = 20,
+                           batch_size: Optional[int] = None) -> float:
+        """Seconds/step of the compiled whole-epoch path (`run_epoch`
+        compiled=True): `iters` train steps inside ONE jitted `lax.scan`,
+        timed with a single host fetch. This is the path every trainer CLI
+        runs, and unlike `steady_state_step_time` it contains no per-step
+        host dispatch — on a tunneled TPU the dispatch RPC (1-10ms,
+        load-dependent) otherwise swamps a ~7ms device step."""
+        bs = batch_size or self.cfg.batch_size
+        n = len(next(iter(arrays.values())))
+        reps = (iters * bs + n - 1) // n
+        if reps > 1:
+            arrays = {k: np.concatenate([v] * reps)[: iters * bs]
+                      for k, v in arrays.items()}
+        else:
+            arrays = {k: v[: iters * bs] for k, v in arrays.items()}
+        stacked, nb = self._stack_epoch(arrays, bs, shuffle=False, seed=0)
+        key = (variant, True, nb, bs)
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = self._build_epoch_fn(
+                self._loss_fns[variant], True)
+        fn = self._epoch_fns[key]
+        rng = self.base_rng
+        state, metrics = fn(self.state, stacked, rng)   # compile + warm
+        float(np.asarray(metrics["loss"]))              # real sync
+        best = float("inf")
+        for _w in range(3):
+            # chain 3 epoch programs per host fetch: the fetch itself is a
+            # ~40ms tunnel RPC that would otherwise bias the per-step time
+            t0 = time.perf_counter()
+            for _c in range(3):
+                state, metrics = fn(state, stacked, rng)
+            float(np.asarray(metrics["loss"]))
+            best = min(best, (time.perf_counter() - t0) / (3 * nb))
+        self.state = state
+        return best
+
     def steady_state_step_time(self, arrays, variant: str = "default",
                                warmup: int = 3, iters: int = 20,
                                batch_size: Optional[int] = None) -> float:

@@ -173,3 +173,174 @@ def test_model_forward_with_pallas_flag(monkeypatch):
     for k in ("out", "r_out", "n_out", "mu_r", "std_n"):
         np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
                                    atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# embedded-token kernel (one-hot encoder inputs; in-kernel dW_ih/db_ih)
+# ---------------------------------------------------------------------------
+
+
+def _embed_case(L=4, T=9, B=4, H=8, V=11, seed=3):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2 + 4 * L)
+    tok = jax.random.randint(ks[0], (B, T), 0, V)
+    x_oh = jax.nn.one_hot(tok, V)
+    params = []
+    for i in range(L):
+        k = ks[2 + 4 * i: 6 + 4 * i]
+        params.append({
+            "w_ih": jax.random.normal(k[0], (V, 3 * H)) * 0.3,
+            "w_hh": jax.random.normal(k[1], (H, 3 * H)) * 0.3,
+            "b_ih": jax.random.normal(k[2], (3 * H,)) * 0.1,
+            "b_hh": jax.random.normal(k[3], (3 * H,)) * 0.1,
+        })
+    reverse = [bool(i % 2) for i in range(L)]
+    return tok, x_oh, params, reverse
+
+
+def test_embed_forward_matches_generic():
+    from music_fader_nets_tpu.ops.gru import multi_gru_final_states
+    tok, x_oh, params, reverse = _embed_case()
+    ref = multi_gru_final_states(params, x_oh, reverse, use_pallas=False)
+    got = multi_gru_final_states(params, x_oh, reverse, use_pallas=True,
+                                 tokens=tok)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_embed_gradients_match_generic():
+    from music_fader_nets_tpu.ops.gru import multi_gru_final_states
+    tok, x_oh, params, reverse = _embed_case(L=2, T=6, B=3, H=8, seed=4)
+
+    def loss(params, use_pallas):
+        hf = multi_gru_final_states(params, x_oh, reverse,
+                                    use_pallas=use_pallas,
+                                    tokens=tok if use_pallas else None)
+        return jnp.sum(hf * jnp.cos(hf))
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b_) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3,
+                                   err_msg=str(path))
+
+
+def test_embed_dp_matches_single_device():
+    from music_fader_nets_tpu.ops.gru import multi_gru_final_states
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    tok, x_oh, params, reverse = _embed_case(L=2, T=5, B=16, H=8, seed=5)
+    mesh = mesh_lib.make_mesh(8, 1)
+
+    def loss(params, tokens, in_mesh):
+        def f(p):
+            ctx = mesh_lib.trace_mesh_scope(in_mesh)
+            with ctx:
+                hf = multi_gru_final_states(p, x_oh, reverse,
+                                            use_pallas=True, tokens=tokens)
+            return jnp.sum(jnp.tanh(hf))
+        return f
+
+    v1 = loss(params, tok, None)(params)
+    v8 = loss(params, tok, mesh)(params)
+    np.testing.assert_allclose(v8, v1, atol=1e-6)
+    g1 = jax.grad(loss(params, tok, None))(params)
+    g8 = jax.grad(loss(params, tok, mesh))(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
+
+
+def test_model_forward_with_tokens_matches(monkeypatch):
+    """reg_gmvae_forward(tokens=...) — the embedded-encoder training path —
+    equals the plain one-hot path."""
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+
+    cfg_scan = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4)
+    cfg_pal = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4,
+                          use_pallas_gru=True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    key = jax.random.PRNGKey(0)
+    p = models.init_reg_gmvae(key, cfg_scan)
+    B = 4
+    tok = jax.random.randint(key, (B, 12), 0, 342)
+    x_oh = jax.nn.one_hot(tok, 342)
+    r_oh = jax.nn.one_hot(jax.random.randint(key, (B, 4), 0, 3), 3)
+    n_oh = jax.nn.one_hot(jax.random.randint(key, (B, 4), 0, 16), 16)
+    c = jax.random.uniform(key, (B, 24))
+
+    a = models.reg_gmvae_forward(p, key, x_oh, r_oh, n_oh, c, cfg_scan)
+    b = models.reg_gmvae_forward(p, key, x_oh, r_oh, n_oh, c, cfg_pal,
+                                 tokens=tok)
+    for k in ("out", "r_out", "n_out", "mu_r", "std_n"):
+        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused 2-layer teacher decoder
+# ---------------------------------------------------------------------------
+
+
+def _dec_case(B=4, T=9, H=8, V=11, Z=6, seed=7):
+    from music_fader_nets_tpu.models.modules import global_decoder_init
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 3)
+    p = global_decoder_init(ks[0], Z, V, H)
+    z = jax.random.normal(ks[1], (B, Z))
+    tok = jax.random.randint(ks[2], (B, T), 0, V)
+    x_oh = jax.nn.one_hot(tok, V)
+    return p, z, tok, x_oh
+
+
+def test_fused_decoder_matches_scan():
+    from music_fader_nets_tpu.models.modules import global_decoder_teacher
+    p, z, tok, x_oh = _dec_case()
+    ref = global_decoder_teacher(p, z, x_oh, use_pallas=False)
+    got = global_decoder_teacher(p, z, x_oh, use_pallas=True, tokens=tok)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fused_decoder_gradients_match_scan():
+    from music_fader_nets_tpu.models.modules import global_decoder_teacher
+    p, z, tok, x_oh = _dec_case(B=3, T=7, seed=8)
+    tgt = jax.random.normal(jax.random.PRNGKey(9),
+                            (3, 7, 11))
+
+    def loss(p, z, use_pallas):
+        out = global_decoder_teacher(p, z, x_oh, use_pallas=use_pallas,
+                                     tokens=tok if use_pallas else None)
+        return jnp.sum(out * tgt)
+
+    g_ref = jax.grad(lambda p, z: loss(p, z, False), argnums=(0, 1))(p, z)
+    g_pal = jax.grad(lambda p, z: loss(p, z, True), argnums=(0, 1))(p, z)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b_) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3,
+                                   err_msg=str(path))
+
+
+def test_fused_decoder_dp_matches_single():
+    from music_fader_nets_tpu.models.modules import global_decoder_teacher
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    p, z, tok, x_oh = _dec_case(B=16, T=6, seed=10)
+    mesh = mesh_lib.make_mesh(8, 1)
+
+    def loss(in_mesh):
+        def f(p, z):
+            with mesh_lib.trace_mesh_scope(in_mesh):
+                out = global_decoder_teacher(p, z, x_oh, use_pallas=True,
+                                             tokens=tok)
+            return jnp.sum(jnp.tanh(out))
+        return f
+
+    v1 = loss(None)(p, z)
+    v8 = loss(mesh)(p, z)
+    np.testing.assert_allclose(v8, v1, atol=1e-6)
+    g1 = jax.grad(loss(None), argnums=(0, 1))(p, z)
+    g8 = jax.grad(loss(mesh), argnums=(0, 1))(p, z)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
