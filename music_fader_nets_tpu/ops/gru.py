@@ -235,13 +235,11 @@ def multi_gru_final_states(params: list, x: jax.Array,
                                 for r in reverse])                 # (L, T, B)
             h0 = jnp.zeros((len(params), B, H), x.dtype)
             if kind == "single":
-                h_seq = pallas_gru.stacked_gru_embed_pallas(
+                return pallas_gru.stacked_gru_embed_finals(
                     tok_lt, w_ih_p, b_ih, w_hh, b_hh, h0)
-            else:
-                h_seq = pallas_gru.stacked_gru_embed_pallas_dp(
-                    tok_lt, w_ih_p, b_ih, w_hh, b_hh, h0,
-                    mesh, mesh_lib.DATA_AXIS)
-            return h_seq[:, -1]
+            return pallas_gru.stacked_gru_embed_finals_dp(
+                tok_lt, w_ih_p, b_ih, w_hh, b_hh, h0,
+                mesh, mesh_lib.DATA_AXIS)
 
     # One big MXU matmul for every direction's full-sequence input proj.
     # Reversed directions consume the time-flipped INPUT (small) rather than

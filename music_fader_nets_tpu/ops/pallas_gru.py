@@ -376,7 +376,7 @@ def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
       b_hh[:, None, :], h0)
 
 
-def _bwd_embed_kernel(precision, lb, Vp, T,
+def _bwd_embed_kernel(precision, lb, Vp, T, g_final,
                       tok_ref, hseq_ref, h0_ref, g_ref, wih_ref, bih_ref,
                       w_ref, b_ref,
                       dwih_ref, dbih_ref, dw_ref, db_ref, dh0_ref, dh_c):
@@ -407,7 +407,14 @@ def _bwd_embed_kernel(precision, lb, Vp, T,
         H = h_prev.shape[-1]
         hn_h = pre_h[:, 2 * H:]
 
-        dh_total = g_ref[j, 0].astype(F32) + dh_c[j]
+        if g_final:
+            # encoder use case: cotangent only on the FINAL state — no
+            # (L,T,B,H) zero-padded stream exists in HBM
+            dh_total = dh_c[j] + jnp.where(
+                t_rev == 0, g_ref[j].astype(F32),
+                jnp.zeros_like(dh_c[j]))
+        else:
+            dh_total = g_ref[j, 0].astype(F32) + dh_c[j]
         dn = dh_total * (1.0 - z)
         dz = dh_total * (h_prev - n)
         dan = dn * (1.0 - n * n)
@@ -439,8 +446,10 @@ def _bwd_embed_kernel(precision, lb, Vp, T,
             dh0_ref[j] = dh_prev.astype(dh0_ref.dtype)
 
 
-def _bwd_embed_pallas(tok_lt, h_seq, h0, g_seq, w_ih, b_ih, w_hh, b_hh,
-                      precision=None):
+def _bwd_embed_pallas(tok_lt, h_seq, h0, g, w_ih, b_ih, w_hh, b_hh,
+                      precision=None, g_final=False):
+    """g: cotangent on h_seq (L,T,B,H), or — when g_final — only on the
+    final state (L,B,H), kept VMEM-resident and applied at the last step."""
     L, T, B = tok_lt.shape
     H = h0.shape[-1]
     G = w_hh.shape[-1]
@@ -452,14 +461,17 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g_seq, w_ih, b_ih, w_hh, b_hh,
     prev4 = lambda l, t: (l, jnp.maximum(T - 2 - t, 0), 0, 0)
     res = lambda l, t: (l, 0, 0)
     lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=True)
+    g_spec = (pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM)
+              if g_final else
+              pl.BlockSpec((lb, 1, B, H), rev4, memory_space=pltpu.VMEM))
     dwih, dbih, dw, db, dh0 = pl.pallas_call(
-        functools.partial(_bwd_embed_kernel, precision, lb, Vp, T),
+        functools.partial(_bwd_embed_kernel, precision, lb, Vp, T, g_final),
         grid=(L // lb, T),
         in_specs=[
             pl.BlockSpec((lb, 1, 1, B), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, 1, B, H), prev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb, 1, B, H), rev4, memory_space=pltpu.VMEM),
+            g_spec,
             pl.BlockSpec((lb, Vp, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, H, G), res, memory_space=pltpu.VMEM),
@@ -483,7 +495,7 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g_seq, w_ih, b_ih, w_hh, b_hh,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(tok_lt[:, :, None, :], h_seq, h0, g_seq, w_ih, b_ih[:, None, :], w_hh,
+    )(tok_lt[:, :, None, :], h_seq, h0, g, w_ih, b_ih[:, None, :], w_hh,
       b_hh[:, None, :])
     return dwih, dbih[:, 0, :], dw, db[:, 0, :], dh0
 
@@ -522,6 +534,35 @@ def _embed_vjp_bwd(precision, res, g_seq):
 
 
 stacked_gru_embed_pallas.defvjp(_embed_vjp_fwd, _embed_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def stacked_gru_embed_finals(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                             precision=None):
+    """`stacked_gru_embed_pallas` returning ONLY the final states (L,B,H) —
+    the encoder use case. The backward applies the (L,B,H) cotangent at the
+    last step directly; no zero-padded (L,T,B,H) cotangent stream is ever
+    materialized in HBM."""
+    h_seq = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
+    return h_seq[:, -1]
+
+
+def _embed_fin_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision):
+    h_seq = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
+    return h_seq[:, -1], (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
+
+
+def _embed_fin_vjp_bwd(precision, res, g_fin):
+    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
+    dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
+        tok_lt, h_seq, h0, g_fin.astype(h_seq.dtype), w_ih, b_ih, w_hh, b_hh,
+        precision, g_final=True)
+    return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
+            dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
+
+
+stacked_gru_embed_finals.defvjp(_embed_fin_vjp_fwd, _embed_fin_vjp_bwd)
 
 
 def _embed_dp_specs(axis):
@@ -581,6 +622,49 @@ def _embed_dp_vjp_bwd(mesh, axis, precision, res, g_seq):
 
 
 stacked_gru_embed_pallas_dp.defvjp(_embed_dp_vjp_fwd, _embed_dp_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def stacked_gru_embed_finals_dp(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                                mesh, axis: str = "data", precision=None):
+    """Finals-only embed kernel over a pure-dp mesh."""
+    h_seq = _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                               mesh, axis, precision)
+    return h_seq[:, -1]
+
+
+def _embed_fin_dp_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
+                          precision):
+    h_seq = _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                               mesh, axis, precision)
+    return h_seq[:, -1], (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
+
+
+def _embed_fin_dp_vjp_bwd(mesh, axis, precision, res, g_fin):
+    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
+    tk, b4, b3, rep = _embed_dp_specs(axis)
+
+    def body(tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_):
+        dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
+            tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_, precision,
+            g_final=True)
+        return (jax.lax.psum(dwih, axis), jax.lax.psum(dbih, axis),
+                jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, b4, b3, b3, rep, rep, rep, rep),
+                      out_specs=(rep, rep, rep, rep, b3),
+                      check_vma=False)
+    dwih, dbih, dw, db, dh0 = f(tok_lt, h_seq, h0,
+                                g_fin.astype(h_seq.dtype),
+                                w_ih, b_ih, w_hh, b_hh)
+    return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
+            dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
+
+
+stacked_gru_embed_finals_dp.defvjp(_embed_fin_dp_vjp_fwd,
+                                   _embed_fin_dp_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -77,10 +77,11 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--dtype", default=None,
                     choices=["float32", "bfloat16"],
                     help="compute dtype: float32 (default, parity) or "
-                         "bfloat16 mixed precision (~1.4x faster training)")
+                         "bfloat16 mixed precision (~5%% faster with "
+                         "--pallas-gru; f32 master weights either way)")
     ap.add_argument("--pallas-gru", action="store_true",
-                    help="fused Pallas GRU training kernel (single-chip TPU;"
-                         " ~1.7x faster f32 training)")
+                    help="fused Pallas GRU training kernels (TPU; ~2.5x "
+                         "faster training; composes with pure-dp meshes)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX platform (NB: the JAX_PLATFORMS env "
                          "var is ignored by the TPU plugin here; this flag "
