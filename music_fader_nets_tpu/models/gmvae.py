@@ -164,13 +164,16 @@ def init_single_gmvae(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
 
 
 def single_gmvae_forward(params, rng, x_oh, cfg: ModelConfig,
-                         train: bool = True) -> Dict:
+                         train: bool = True, tokens=None) -> Dict:
+    pal = cfg.use_pallas_gru
     view = {"gru": params["gru"], "mu": params["mu"], "var": params["var"]}
-    mu, std = encode_streams_fused([view], x_oh)[0]
+    mu, std = encode_streams_fused([view], x_oh, use_pallas=pal,
+                                   tokens=tokens)[0]
     z = reparameterize(rng, mu, std)
     log_logit, qy_x = approx_qy_x(z, params["mu_lookup"], params["logvar_lookup"])
     if train:
-        out = global_decoder_teacher(_global_view(params), z, x_oh)
+        out = global_decoder_teacher(_global_view(params), z, x_oh,
+                                     use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
     return {"out": out, "mu": mu, "std": std, "z": z,
