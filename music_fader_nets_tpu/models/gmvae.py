@@ -24,6 +24,7 @@ from music_fader_nets_tpu.models.modules import (
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
+    global_decoder_teacher_nll,
     sub_decoder_apply,
     sub_decoder_pair_apply,
 )
@@ -102,7 +103,7 @@ def reg_gmvae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
 
 def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                       cfg: ModelConfig, train: bool = True,
-                      tokens=None) -> Dict:
+                      tokens=None, nll_targets=None) -> Dict:
     """reference gmm_model.py:220-259; returns reconstruction outputs plus the
     per-stream mixture posteriors and inferred components."""
     pal = cfg.use_pallas_gru
@@ -123,14 +124,19 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
         cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
-    if train:
+    out = nll_x = None
+    if train and nll_targets is not None:
+        nll_x = global_decoder_teacher_nll(_global_view(params), z, x_oh,
+                                           tokens, nll_targets,
+                                           use_pallas=pal)
+    elif train:
         out = global_decoder_teacher(_global_view(params), z, x_oh,
                                      use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
 
     return {
-        "out": out, "r_out": r_out, "n_out": n_out,
+        "out": out, "nll_x": nll_x, "r_out": r_out, "n_out": n_out,
         "mu_r": mu_r, "std_r": std_r, "mu_n": mu_n, "std_n": std_n,
         "z_r": z_r, "z_n": z_n, "z": z,
         "log_logit_r": log_logit_r, "qy_x_r": qy_x_r,

@@ -263,6 +263,31 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array,
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)    # (B, T, V)
 
 
+def global_decoder_teacher_nll(p, z: jax.Array, x_oh: jax.Array,
+                               tokens: jax.Array, targets: jax.Array,
+                               use_pallas: bool = False) -> jax.Array:
+    """Per-position NLL of the teacher-forced decode: (B, T) array of
+    -log_softmax(logits)[target] — `losses.elbo.nll_mean` before the mean,
+    padding included (reference trainer.py:98-103).
+
+    On the single-device TPU path this runs as ONE kernel (decode + logits
+    head + log-softmax + target gather fused, ops/pallas_gru.py); the
+    (B,T,V) log-prob tensor never exists. Elsewhere it falls back to the
+    regular teacher decode + gather (identical numerics)."""
+    if use_pallas and tokens is not None:
+        from music_fader_nets_tpu.ops import pallas_gru
+        from music_fader_nets_tpu.parallel import mesh as mesh_lib
+        B, T, V = x_oh.shape
+        mesh = mesh_lib.current_trace_mesh()
+        if (pallas_gru.decoder_teacher_fused_applicable(B)
+                and (mesh is None or mesh.size == 1)):
+            return pallas_gru.decoder_teacher_fused_nll(p, z, tokens, V)
+    logp = global_decoder_teacher(p, z, x_oh, use_pallas=use_pallas,
+                                  tokens=tokens)
+    picked = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -picked
+
+
 def global_decoder_scheduled(p, z: jax.Array, x_oh: jax.Array, rng,
                              eps: float) -> jax.Array:
     """Scheduled-sampling decode: at each step one Bernoulli coin for the

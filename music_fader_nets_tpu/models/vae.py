@@ -24,6 +24,7 @@ from music_fader_nets_tpu.models.modules import (
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
+    global_decoder_teacher_nll,
     sub_decoder_apply,
     sub_decoder_pair_apply,
 )
@@ -125,7 +126,7 @@ def reg_vae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
 
 def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                     cfg: ModelConfig, train: bool = True,
-                    tokens=None) -> Dict:
+                    tokens=None, nll_targets=None) -> Dict:
     """Full training-path forward (reference model_v2.py:145-171).
 
     Teacher-forced when `train` (the reference's `eps=100` makes scheduled
@@ -147,14 +148,21 @@ def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
         cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
-    if train:
+    out = nll_x = None
+    if train and nll_targets is not None:
+        # training loss path: decode + CE fused (modules.py helper); the
+        # (B,T,V) log-prob tensor is skipped entirely on the kernel path
+        nll_x = global_decoder_teacher_nll(_global_view(params), z, x_oh,
+                                           tokens, nll_targets,
+                                           use_pallas=pal)
+    elif train:
         out = global_decoder_teacher(_global_view(params), z, x_oh,
                                      use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z, x_oh.shape[1])
 
     return {
-        "out": out, "r_out": r_out, "n_out": n_out,
+        "out": out, "nll_x": nll_x, "r_out": r_out, "n_out": n_out,
         "mu_r": mu_r, "std_r": std_r, "mu_n": mu_n, "std_n": std_n,
         "z_r": z_r, "z_n": z_n, "z": z,
     }
@@ -187,18 +195,25 @@ def single_vae_encode(params, x_oh, use_pallas: bool = False, tokens=None):
 
 
 def single_vae_forward(params, rng, x_oh, chroma, cfg: ModelConfig,
-                       train: bool = True, tokens=None) -> Dict:
+                       train: bool = True, tokens=None,
+                       nll_targets=None) -> Dict:
     """reference model_v2.py:264-285: forward takes (x, chroma) only."""
     pal = cfg.use_pallas_gru
     mu, std = single_vae_encode(params, x_oh, use_pallas=pal, tokens=tokens)
     z = reparameterize(rng, mu, std)
     z_full = jnp.concatenate([z, chroma], axis=-1)
-    if train:
+    out = nll_x = None
+    if train and nll_targets is not None:
+        nll_x = global_decoder_teacher_nll(_global_view(params), z_full,
+                                           x_oh, tokens, nll_targets,
+                                           use_pallas=pal)
+    elif train:
         out = global_decoder_teacher(_global_view(params), z_full, x_oh,
                                      use_pallas=pal, tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z_full, x_oh.shape[1])
-    return {"out": out, "mu": mu, "std": std, "z": z, "z_full": z_full}
+    return {"out": out, "nll_x": nll_x, "mu": mu, "std": std, "z": z,
+            "z_full": z_full}
 
 
 def single_vae_global_decode(params, z_full, steps: int):
@@ -239,20 +254,27 @@ def cvae_encode(params, x_oh, r_density, n_density):
 
 
 def cvae_forward(params, rng, x_oh, chroma, r_density, n_density,
-                 cfg: ModelConfig, train: bool = True, tokens=None) -> Dict:
+                 cfg: ModelConfig, train: bool = True, tokens=None,
+                 nll_targets=None) -> Dict:
     mu, std = cvae_encode(params, x_oh, r_density, n_density)
     z = reparameterize(rng, mu, std)
     z_full = jnp.concatenate(
         [z, r_density.astype(z.dtype), n_density.astype(z.dtype)], axis=-1)
-    if train:
-        # the CVAE encoder input is [one-hot, conditions] (not pure one-hot)
-        # so only the DECODER can take the fused token kernel
+    out = nll_x = None
+    if train and nll_targets is not None:
+        # the CVAE encoder input is [one-hot, conditions] (not pure
+        # one-hot) so only the DECODER takes the fused token/CE kernel
+        nll_x = global_decoder_teacher_nll(_global_view(params), z_full,
+                                           x_oh, tokens, nll_targets,
+                                           use_pallas=cfg.use_pallas_gru)
+    elif train:
         out = global_decoder_teacher(_global_view(params), z_full, x_oh,
                                      use_pallas=cfg.use_pallas_gru,
                                      tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z_full, x_oh.shape[1])
-    return {"out": out, "mu": mu, "std": std, "z": z, "z_full": z_full}
+    return {"out": out, "nll_x": nll_x, "mu": mu, "std": std, "z": z,
+            "z_full": z_full}
 
 
 def cvae_global_decode(params, z_full, steps: int):
@@ -290,7 +312,7 @@ def fader_encode(params, x_oh, use_pallas: bool = False, tokens=None):
 
 def fader_forward(params, rng, x_oh, chroma, r_density, n_density,
                   cfg: ModelConfig, train: bool = True,
-                  dropout_rng=None, tokens=None) -> Dict:
+                  dropout_rng=None, tokens=None, nll_targets=None) -> Dict:
     """reference model_v2.py:559-586. The discriminators see a
     gradient-reversed z through ReLU + dropout(0.3).
     The encoder ignores the conditions (pure one-hot input), so both the
@@ -312,13 +334,18 @@ def fader_forward(params, rng, x_oh, chroma, r_density, n_density,
 
     z_full = jnp.concatenate(
         [z, r_density.astype(z.dtype), n_density.astype(z.dtype)], axis=-1)
-    if train:
+    out = nll_x = None
+    if train and nll_targets is not None:
+        nll_x = global_decoder_teacher_nll(_global_view(params), z_full,
+                                           x_oh, tokens, nll_targets,
+                                           use_pallas=cfg.use_pallas_gru)
+    elif train:
         out = global_decoder_teacher(_global_view(params), z_full, x_oh,
                                      use_pallas=cfg.use_pallas_gru,
                                      tokens=tokens)
     else:
         out = global_decoder_greedy(_global_view(params), z_full, x_oh.shape[1])
-    return {"out": out, "disc_r": disc_r, "disc_n": disc_n,
+    return {"out": out, "nll_x": nll_x, "disc_r": disc_r, "disc_n": disc_n,
             "mu": mu, "std": std, "z": z, "z_full": z_full}
 
 

@@ -938,6 +938,330 @@ def _dec_vjp_bwd(precision, res, g2):
 _dec_teacher_core.defvjp(_dec_vjp_fwd, _dec_vjp_bwd)
 
 
+# --- CE-fused variant: the logits head + log_softmax + target gather run
+# in-kernel too, so the (B,T,V) logits tensor (17.5MB + softmax round
+# trips) never exists. Primal output is the per-position NLL (T,B); the
+# backward recomputes logits from the h2 residual and accumulates
+# dW_out/db_out on-core. Matches losses/elbo.py::nll_mean semantics
+# (padding positions included; caller takes the mean).
+
+
+def _ce_from_h2(h2n, tgt, wout_ref, bout_ref, Vp, precision):
+    B = h2n.shape[0]
+    logits = jax.lax.dot_general(
+        h2n, wout_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bout_ref[:].astype(F32)                       # pads biased -1e30
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    tgt_oh = (col == tgt[:, None])
+    logit_t = jnp.sum(jnp.where(tgt_oh, logits, 0.0), axis=-1)
+    return lse[:, 0] - logit_t, logits, lse, tgt_oh
+
+
+def _dec_fwd_ce_kernel(precision, Vp, tok_ref, tgt_ref, wtok_ref, prez_ref,
+                       whh1_ref, bhh1_ref, wih2_ref, bih2_ref,
+                       whh2_ref, bhh2_ref, h10_ref, wout_ref, bout_ref,
+                       h1_out, h2_out, ce_out, h1_c, h2_c):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h1_c[:] = h10_ref[:].astype(F32)
+        h2_c[:] = jnp.zeros_like(h2_c)
+
+    h1 = h1_c[:]
+    pre1, _ = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
+                           Vp, precision)
+    preh1 = jax.lax.dot_general(
+        h1, whh1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bhh1_ref[:].astype(F32)
+    _, _, _, h1n = _gates_f32(pre1, preh1, h1)
+
+    h2prev = jnp.where(t == 0, h1n, h2_c[:])
+    pre2 = jax.lax.dot_general(
+        h1n, wih2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bih2_ref[:].astype(F32)
+    preh2 = jax.lax.dot_general(
+        h2prev, whh2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=precision
+    ) + bhh2_ref[:].astype(F32)
+    _, _, _, h2n = _gates_f32(pre2, preh2, h2prev)
+
+    ce, _, _, _ = _ce_from_h2(h2n, tgt_ref[0, 0], wout_ref, bout_ref,
+                              Vp, precision)
+    h1_c[:] = h1n
+    h2_c[:] = h2n
+    h1_out[0] = h1n.astype(h1_out.dtype)
+    h2_out[0] = h2n.astype(h2_out.dtype)
+    ce_out[0, 0] = ce.astype(ce_out.dtype)
+
+
+def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                       whh2, bhh2, h1_0, w_out, b_out, precision=None):
+    T, B = tok_t.shape
+    H = h1_0.shape[-1]
+    G = whh1.shape[-1]
+    Vp = w_tok.shape[0]
+    dt = w_tok.dtype
+    res2 = lambda t: (0, 0)
+    tok3 = lambda t: (t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_dec_fwd_ce_kernel, precision, Vp),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Vp), res2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), res2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), dt),
+                   jax.ShapeDtypeStruct((T, B, H), dt),
+                   jax.ShapeDtypeStruct((T, 1, B), F32)],
+        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tok_t[:, None, :], tgt_t[:, None, :], w_tok, pre_z, whh1, bhh1[None],
+      wih2, bih2[None], whh2, bhh2[None], h1_0, w_out, b_out[None])
+
+
+def _dec_bwd_ce_kernel(precision, Vp, T,
+                       tok_ref, tgt_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
+                       gce_ref,
+                       wtok_ref, prez_ref, whh1_ref, bhh1_ref,
+                       wih2_ref, bih2_ref, whh2_ref, bhh2_ref, h10_ref,
+                       wout_ref, bout_ref,
+                       dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                       dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
+                       dwout_ref, dbout_ref,
+                       dh1_c, dh2_c):
+    tr = pl.program_id(0)                     # processing t = T-1-tr
+    first = tr == T - 1
+
+    @pl.when(tr == 0)
+    def _():
+        dh1_c[:] = jnp.zeros_like(dh1_c)
+        dh2_c[:] = jnp.zeros_like(dh2_c)
+        for ref in (dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref,
+                    dwout_ref, dbout_ref):
+            ref[:] = jnp.zeros_like(ref[:])
+
+    h1 = h1_ref[0].astype(F32)
+    h2n = h2_ref[0].astype(F32)
+    h1prev = jnp.where(first, h10_ref[:].astype(F32), h1p_ref[0].astype(F32))
+    h2prev = jnp.where(first, h1, h2p_ref[0].astype(F32))
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=F32,
+                                   precision=precision)
+
+    # ---- CE head ----
+    _, logits, lse, tgt_oh = _ce_from_h2(h2n, tgt_ref[0, 0], wout_ref,
+                                         bout_ref, Vp, precision)
+    g_ce = gce_ref[0, 0].astype(F32)[:, None]              # (B, 1)
+    dlogits = (jnp.exp(logits - lse)
+               - tgt_oh.astype(F32)) * g_ce                 # (B, Vp)
+    dwout_ref[:] += dot(h2n, dlogits, ((0,), (0,)))
+    dbout_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
+    dh2 = dh2_c[:] + dot(dlogits, wout_ref[:], ((1,), (1,)))
+
+    # ---- layer 2 ----
+    pre2 = dot(h1, wih2_ref[:], ((1,), (0,))) + bih2_ref[:].astype(F32)
+    preh2 = dot(h2prev, whh2_ref[:], ((1,), (0,))) + bhh2_ref[:].astype(F32)
+    r2, z2, n2, _ = _gates_f32(pre2, preh2, h2prev)
+    dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2, h2prev)
+    dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
+    dwih2_ref[:] += dot(h1, dpre2x, ((0,), (0,)))
+    dbih2_ref[:] += jnp.sum(dpre2x, axis=0, keepdims=True)
+    dwhh2_ref[:] += dot(h2prev, dpreh2, ((0,), (0,)))
+    dbhh2_ref[:] += jnp.sum(dpreh2, axis=0, keepdims=True)
+
+    dh1 = (dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
+           + jnp.where(first, dh2prev, jnp.zeros_like(dh2prev)))
+    dh2_c[:] = jnp.where(first, jnp.zeros_like(dh2prev), dh2prev)
+
+    # ---- layer 1 ----
+    pre1, onehot = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
+                                Vp, precision)
+    preh1 = dot(h1prev, whh1_ref[:], ((1,), (0,))) + bhh1_ref[:].astype(F32)
+    r1, z1, n1, _ = _gates_f32(pre1, preh1, h1prev)
+    dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1, h1prev)
+    dh1prev = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
+    dh1_c[:] = dh1prev
+    dwtok_ref[:] += dot(onehot, dpre1x, ((0,), (0,)))
+    dprez_ref[:] += dpre1x
+    dwhh1_ref[:] += dot(h1prev, dpreh1, ((0,), (0,)))
+    dbhh1_ref[:] += jnp.sum(dpreh1, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        dh10_ref[:] = dh1prev.astype(dh10_ref.dtype)
+
+
+def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
+                       whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+                       w_out, b_out, precision=None):
+    T, B = tok_t.shape
+    H = h1_0.shape[-1]
+    G = whh1.shape[-1]
+    Vp = w_tok.shape[0]
+    rev3 = lambda t: (T - 1 - t, 0, 0)
+    prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    res = lambda t: (0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_dec_bwd_ce_kernel, precision, Vp, T),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Vp), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), res, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Vp), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), res, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Vp, G), F32),
+            jax.ShapeDtypeStruct((B, G), F32),
+            jax.ShapeDtypeStruct((H, G), F32),
+            jax.ShapeDtypeStruct((1, G), F32),
+            jax.ShapeDtypeStruct((H, G), F32),
+            jax.ShapeDtypeStruct((1, G), F32),
+            jax.ShapeDtypeStruct((H, G), F32),
+            jax.ShapeDtypeStruct((1, G), F32),
+            jax.ShapeDtypeStruct((B, H), F32),
+            jax.ShapeDtypeStruct((H, Vp), F32),
+            jax.ShapeDtypeStruct((1, Vp), F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tok_t[:, None, :], tgt_t[:, None, :], h1_seq, h1_seq, h2_seq, h2_seq,
+      g_ce[:, None, :], w_tok, pre_z, whh1, bhh1[None], wih2, bih2[None],
+      whh2, bhh2[None], h1_0, w_out, b_out[None])
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+     dwout, dbout) = outs
+    return (dwtok, dprez, dwhh1, dbhh1[0], dwih2, dbih2[0],
+            dwhh2, dbhh2[0], dh10, dwout, dbout[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+def _dec_nll_core(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                  whh2, bhh2, h1_0, wout_bout, precision=None):
+    w_out, b_out = wout_bout
+    _, _, ce = _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1,
+                                  wih2, bih2, whh2, bhh2, h1_0,
+                                  w_out, b_out, precision)
+    return ce[:, 0, :]                                       # (T, B)
+
+
+def _dec_nll_vjp_fwd(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                     whh2, bhh2, h1_0, wout_bout, precision):
+    w_out, b_out = wout_bout
+    h1_seq, h2_seq, ce = _dec_fwd_ce_pallas(
+        tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
+        h1_0, w_out, b_out, precision)
+    return ce[:, 0, :], (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z,
+                         whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+                         w_out, b_out)
+
+
+def _dec_nll_vjp_bwd(precision, res, g_ce):
+    (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+     wih2, bih2, whh2, bhh2, h1_0, w_out, b_out) = res
+    grads = _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq,
+                               g_ce.astype(F32), w_tok, pre_z,
+                               whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+                               w_out, b_out, precision)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+     dwout, dbout) = grads
+    return (_float0_like(tok_t), _float0_like(tgt_t),
+            dwtok.astype(w_tok.dtype), dprez.astype(pre_z.dtype),
+            dwhh1.astype(whh1.dtype), dbhh1.astype(bhh1.dtype),
+            dwih2.astype(wih2.dtype), dbih2.astype(bih2.dtype),
+            dwhh2.astype(whh2.dtype), dbhh2.astype(bhh2.dtype),
+            dh10.astype(h1_0.dtype),
+            (dwout.astype(w_out.dtype), dbout.astype(b_out.dtype)))
+
+
+_dec_nll_core.defvjp(_dec_nll_vjp_fwd, _dec_nll_vjp_bwd)
+
+
+def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
+    """Teacher decode + CE in one kernel: returns per-position NLL (B, T)
+    (= -log_softmax(logits)[target], nll_mean semantics before the mean —
+    padding positions included, reference trainer.py:98-103). Only valid on
+    the single-device/TPU path; caller must check
+    `decoder_teacher_fused_applicable` and mesh==None."""
+    B, T = tokens.shape
+    w_ih = p["grucell_g"]["w_ih"]
+    Vp = ((V + 127) // 128) * 128
+    w_tok = jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0)))
+    w_z = w_ih[V:]
+    pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
+    start = jnp.full((B, 1), V - 1, jnp.int32)
+    tgt = tokens.astype(jnp.int32)
+    tok_t = jnp.swapaxes(
+        jnp.concatenate([start, tgt[:, :-1]], axis=1), 0, 1)
+    w_out = jnp.pad(p["linear_out_g"]["w"], ((0, 0), (0, Vp - V)))
+    b_out = jnp.pad(p["linear_out_g"]["b"], (0, Vp - V),
+                    constant_values=-1e30)
+    ce_tb = _dec_nll_core(tok_t, jnp.swapaxes(tgt, 0, 1), w_tok,
+                          pre_z.astype(w_tok.dtype), p["grucell_g"]["w_hh"],
+                          p["grucell_g"]["b_hh"], p["grucell_g_2"]["w_ih"],
+                          p["grucell_g_2"]["b_ih"], p["grucell_g_2"]["w_hh"],
+                          p["grucell_g_2"]["b_hh"],
+                          h1_0.astype(w_tok.dtype), (w_out, b_out),
+                          precision)
+    return jnp.swapaxes(ce_tb, 0, 1)                          # (B, T)
+
+
 def _dec_dp_specs(axis):
     from jax.sharding import PartitionSpec as P
     return (P(None, None, axis),     # tok_t as (T, 1->B?) — see below

@@ -65,10 +65,18 @@ def _one_hots(batch, cfg: ModelConfig, dtype=jnp.float32):
 
 
 def _recon_ce(fwd, batch, cfg: ModelConfig):
-    ce_x = nll_mean(fwd["out"], batch["x"])
+    ce_x = _ce_x(fwd, batch)
     ce_r = nll_mean(fwd["r_out"], batch["r"])
     ce_n = nll_mean(fwd["n_out"], batch["n"])
     return ce_x, ce_r, ce_n
+
+
+def _ce_x(fwd, batch):
+    """Token-stream CE: from the fused decode+CE kernel's per-position NLL
+    when present (padding included either way, = nll_mean semantics)."""
+    if fwd.get("nll_x") is not None:
+        return jnp.mean(fwd["nll_x"].astype(jnp.float32))
+    return nll_mean(fwd["out"], batch["x"])
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +88,8 @@ def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.reg_vae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
-                              cfg, train=train, tokens=batch["x"])
+                              cfg, train=train, tokens=batch["x"],
+                              nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
@@ -105,7 +114,8 @@ def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = gmvae.reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
-                                  cfg, train=train, tokens=batch["x"])
+                                  cfg, train=train, tokens=batch["x"],
+                                  nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
@@ -156,7 +166,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     x_oh, r_oh, n_oh = _one_hots(batch, cfg)
     rng_fwd, rng_glsr = jax.random.split(rng)
     fwd = vae.reg_vae_forward(params, rng_fwd, x_oh, r_oh, n_oh, batch["c"],
-                              cfg, train=train, tokens=batch["x"])
+                              cfg, train=train, tokens=batch["x"],
+                              nll_targets=batch["x"])
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
@@ -191,9 +202,10 @@ def cvae_loss(params, rng, batch, step, cfg: ModelConfig,
     rd = batch["r_density"][:, None].astype(dt)
     nd = batch["n_density"][:, None].astype(dt)
     fwd = vae.cvae_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
-                           train=train, tokens=batch["x"])
+                           train=train, tokens=batch["x"],
+                           nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
-    ce_x = nll_mean(fwd["out"], batch["x"])
+    ce_x = _ce_x(fwd, batch)
     kld = kl_std_normal(fwd["mu"], fwd["std"])
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
     loss = ce_x + beta0 * kld
@@ -212,9 +224,10 @@ def fader_loss(params, rng, batch, step, cfg: ModelConfig,
     rd = batch["r_density"][:, None].astype(dt)
     nd = batch["n_density"][:, None].astype(dt)
     fwd = vae.fader_forward(params, rng, x_oh, batch["c"], rd, nd, cfg,
-                            train=train, tokens=batch["x"])
+                            train=train, tokens=batch["x"],
+                            nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
-    ce_x = nll_mean(fwd["out"], batch["x"])
+    ce_x = _ce_x(fwd, batch)
     kld = kl_std_normal(fwd["mu"], fwd["std"])
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
     l_adv_r = adversarial_fader_loss(step, fwd["disc_r"],
@@ -237,9 +250,10 @@ def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, _, _ = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.single_vae_forward(params, rng, x_oh, batch["c"], cfg,
-                                 train=train, tokens=batch["x"])
+                                 train=train, tokens=batch["x"],
+                                 nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
-    ce_x = nll_mean(fwd["out"], batch["x"])
+    ce_x = _ce_x(fwd, batch)
     kld = kl_std_normal(fwd["mu"], fwd["std"])
     l_r = pati_regularizer(fwd["z"][:, 0], batch["r_density"])
     l_n = pati_regularizer(fwd["z"][:, 1], batch["n_density"])

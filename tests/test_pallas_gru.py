@@ -344,3 +344,42 @@ def test_fused_decoder_dp_matches_single():
     for a, b_ in zip(jax.tree_util.tree_leaves(g1),
                      jax.tree_util.tree_leaves(g8)):
         np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_ce_loss_and_grads_match(monkeypatch):
+    """gmm_loss with the fused decode+CE kernel (nll_x path) equals the
+    scan path in value AND parameter gradients."""
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+    from music_fader_nets_tpu.train.objectives import gmm_loss
+
+    cfg_scan = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4)
+    cfg_pal = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4,
+                          use_pallas_gru=True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    key = jax.random.PRNGKey(3)
+    p = models.init_reg_gmvae(key, cfg_scan)
+    B = 4
+    ks = jax.random.split(key, 6)
+    batch = {
+        "x": jax.random.randint(ks[0], (B, 12), 0, 342),
+        "r": jax.random.randint(ks[1], (B, 4), 0, 3),
+        "n": jax.random.randint(ks[2], (B, 4), 0, 16),
+        "c": jax.random.uniform(ks[3], (B, 24)),
+        "r_density": jax.random.uniform(ks[4], (B,)),
+        "n_density": jax.random.uniform(ks[5], (B,)),
+    }
+    step = jnp.asarray(0, jnp.int32)
+
+    def loss(p, cfg):
+        return gmm_loss(p, key, batch, step, cfg)[0]
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, cfg_scan))(p)
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss(p, cfg_pal))(p)
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b_) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(b_, a, atol=3e-4, rtol=2e-3,
+                                   err_msg=str(path))
