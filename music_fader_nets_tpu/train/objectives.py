@@ -178,9 +178,14 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     gview = _global_view(params)
 
     def decode_fn(z_full):
-        return global_decoder_teacher(gview, z_full, x_oh[:, :steps],
+        # glsr_regularizer stacks its 4 perturbations on the batch axis —
+        # tile the teacher inputs to match
+        n_rep = z_full.shape[0] // x_oh.shape[0]
+        xo = jnp.tile(x_oh[:, :steps], (n_rep, 1, 1))
+        toks = jnp.tile(batch["x"][:, :steps], (n_rep, 1))
+        return global_decoder_teacher(gview, z_full, xo,
                                       use_pallas=cfg.use_pallas_gru,
-                                      tokens=batch["x"][:, :steps])
+                                      tokens=toks)
 
     l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
                                 rng_glsr,
