@@ -8,7 +8,10 @@ decoder weights into VMEM once and runs the entire decode loop on-chip:
   VMEM residency (f32, reference dims V=342->384 padded, H=512):
     w_tok (384,1536) 2.4MB | w_hh1 (512,1536) 3.1MB | w_ih2 3.1MB
     w_hh2 3.1MB | w_out (512,384) 0.8MB | biases + carries < 1MB
-  => ~13MB, inside the ~16MB/core budget for batches <= 64.
+  => ~13MB of weights; per-batch carries add ~16KB/row. The kernel is the
+  LATENCY path (B<=64, e.g. the B=1 300-step transfer decode); large eval
+  waves use the XLA scan, which matches it once weight reads amortize
+  over enough batch rows (see greedy_decode_tokens).
 
 Per step (inside one `jax.lax.fori_loop`, zero HBM traffic):
   one-hot(token) @ w_tok  -> + pre_z   (precomputed z-projection)
@@ -171,6 +174,11 @@ def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     Both paths are module-level jits with static `steps`, so compiles are
     cached process-wide — callers must NOT wrap this in another jax.jit
     (nesting would defeat the cache and recompile per wrapper)."""
+    # the kernel wins when the per-step weight traffic dominates (small B:
+    # 2.4x at B=1-8, the transfer path); by B~160 the scan's per-step
+    # matmuls amortize the same weight reads over enough rows that XLA is
+    # on par (measured 4.8ms scan vs 5.1ms kernel at B=160, 100 steps) —
+    # so large-batch eval waves deliberately take the scan
     if use_pallas and z.shape[0] <= 64:
         try:
             return pallas_greedy_decode(gview, z, steps, interpret=interpret)
