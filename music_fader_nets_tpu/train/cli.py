@@ -96,9 +96,20 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     return ap
 
 
+def enable_compilation_cache():
+    """Persistent XLA compile cache: repeated CLI invocations (train, eval,
+    parity, transfer) skip recompilation entirely — on the tunneled TPU a
+    cold compile of the full train/eval programs costs minutes."""
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def config_from_args(kind: str, args) -> ModelConfig:
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    enable_compilation_cache()
     spec = MODEL_REGISTRY[kind]
     path = args.config or (spec["config"]
                            if os.path.exists(spec["config"]) else None)

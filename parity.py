@@ -323,6 +323,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from music_fader_nets_tpu.train.cli import enable_compilation_cache
+    enable_compilation_cache()
     if not args.from_pt and not args.tokens:
         ap.error("nothing to do: pass --from-pt and/or --tokens")
 
