@@ -383,3 +383,45 @@ def test_fused_ce_loss_and_grads_match(monkeypatch):
     for (path, a), (_, b_) in zip(flat_r, flat_p):
         np.testing.assert_allclose(b_, a, atol=3e-4, rtol=2e-3,
                                    err_msg=str(path))
+
+
+@pytest.mark.parametrize("L,T,B,H,V", [
+    (1, 1, 2, 8, 5),      # degenerate: single layer, single step
+    (1, 7, 3, 8, 11),     # single layer
+    (6, 3, 2, 8, 7),      # L with several divisors, short T
+    (2, 5, 8, 16, 130),   # V > 128 (pads to 256)
+])
+def test_embed_edge_shapes(L, T, B, H, V):
+    from music_fader_nets_tpu.ops.gru import multi_gru_final_states
+    ks = jax.random.split(jax.random.PRNGKey(L * 100 + T), 2 + 4 * L)
+    tok = jax.random.randint(ks[0], (B, T), 0, V)
+    x_oh = jax.nn.one_hot(tok, V)
+    params = [{
+        "w_ih": jax.random.normal(ks[2 + 4 * i], (V, 3 * H)) * 0.3,
+        "w_hh": jax.random.normal(ks[3 + 4 * i], (H, 3 * H)) * 0.3,
+        "b_ih": jax.random.normal(ks[4 + 4 * i], (3 * H,)) * 0.1,
+        "b_hh": jax.random.normal(ks[5 + 4 * i], (3 * H,)) * 0.1,
+    } for i in range(L)]
+    reverse = [bool(i % 2) for i in range(L)]
+
+    def loss(p, pal):
+        hf = multi_gru_final_states(p, x_oh, reverse, use_pallas=pal,
+                                    tokens=tok if pal else None)
+        return jnp.sum(hf * jnp.cos(hf))
+
+    np.testing.assert_allclose(loss(params, True), loss(params, False),
+                               atol=1e-5)
+    g_r = jax.grad(lambda p: loss(p, False))(params)
+    g_p = jax.grad(lambda p: loss(p, True))(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_r),
+                     jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("T,B", [(1, 2), (2, 1), (5, 8)])
+def test_fused_decoder_edge_shapes(T, B):
+    from music_fader_nets_tpu.models.modules import global_decoder_teacher
+    p, z, tok, x_oh = _dec_case(B=B, T=T, seed=T * 10 + B)
+    ref = global_decoder_teacher(p, z, x_oh, use_pallas=False)
+    got = global_decoder_teacher(p, z, x_oh, use_pallas=True, tokens=tok)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
