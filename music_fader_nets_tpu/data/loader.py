@@ -26,8 +26,11 @@ def shard_arrays_for_process(arrays: Dict[str, np.ndarray],
     rationale as the loader's drop_last). Single process: arrays unchanged.
 
     The reference is single-process (SURVEY.md §2.2); this is TPU-introduced,
-    mirroring the standard JAX multi-host recipe where each process feeds its
-    addressable shard of the global batch.
+    mirroring the standard JAX multi-host recipe: each process keeps 1/pc of
+    the corpus AND feeds per-host batches of batch_size // pc rows, which
+    the Trainer assembles into global arrays with
+    `jax.make_array_from_process_local_data` (train/trainer.py::_place and
+    the compiled-epoch placement).
     """
     import jax
     pc = jax.process_count() if process_count is None else process_count

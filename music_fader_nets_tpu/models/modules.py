@@ -215,7 +215,7 @@ def global_decoder_teacher(p, z: jax.Array, x_oh: jax.Array,
 
     if use_pallas and tokens is not None:
         from music_fader_nets_tpu.ops import pallas_gru
-        if pallas_gru.decoder_teacher_fused_applicable(B):
+        if pallas_gru.kernel_dispatch(B)[0] is not None:
             # fused 2-layer kernel: both GRU layers advance in one T-loop,
             # teacher tokens embedded on-core (ops/pallas_gru.py)
             h2_bt = pallas_gru.decoder_teacher_fused(p, z, tokens, V)
@@ -276,11 +276,10 @@ def global_decoder_teacher_nll(p, z: jax.Array, x_oh: jax.Array,
     regular teacher decode + gather (identical numerics)."""
     if use_pallas and tokens is not None:
         from music_fader_nets_tpu.ops import pallas_gru
-        from music_fader_nets_tpu.parallel import mesh as mesh_lib
         B, T, V = x_oh.shape
-        mesh = mesh_lib.current_trace_mesh()
-        if (pallas_gru.decoder_teacher_fused_applicable(B)
-                and (mesh is None or mesh.size == 1)):
+        # the CE-fused kernel has no dp wrapper: single-device only; dp
+        # meshes use the fused decoder + gather fallback below
+        if pallas_gru.kernel_dispatch(B)[0] == "single":
             return pallas_gru.decoder_teacher_fused_nll(p, z, tokens, V)
     logp = global_decoder_teacher(p, z, x_oh, use_pallas=use_pallas,
                                   tokens=tokens)

@@ -155,23 +155,20 @@ def stacked_gru_scan(pre: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
 
     if use_pallas:
         from music_fader_nets_tpu.ops import pallas_gru
-        if jax.default_backend() == "tpu" or pallas_gru.INTERPRET:
-            from music_fader_nets_tpu.parallel import mesh as mesh_lib
-            mesh = mesh_lib.current_trace_mesh()
-            if mesh is None or mesh.size == 1:
-                # fused whole-sequence kernel with custom VJP
-                # (ops/pallas_gru.py): ~2x f32 over this scan on fwd+grad
-                return pallas_gru.stacked_gru_scan_pallas(pre, w_hh, b_hh, h0)
-            n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
-            if (mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1
-                    and B % n_data == 0):
-                # pure-dp mesh: shard_map the kernel over `data`; weight
-                # grads psum'd inside (ops/pallas_gru.py dp wrapper)
-                h_seq = pallas_gru.stacked_gru_pallas_dp(
-                    pre, w_hh, b_hh, h0, mesh, mesh_lib.DATA_AXIS)
-                return h_seq, h_seq[:, -1]
-            # tp mesh (or indivisible batch): fall through to the XLA scan,
-            # which GSPMD partitions over the gate dimension
+        from music_fader_nets_tpu.parallel import mesh as mesh_lib
+        kind, mesh = pallas_gru.kernel_dispatch(B)
+        if kind == "single":
+            # fused whole-sequence kernel with custom VJP
+            # (ops/pallas_gru.py): ~2x f32 over this scan on fwd+grad
+            return pallas_gru.stacked_gru_scan_pallas(pre, w_hh, b_hh, h0)
+        if kind == "dp":
+            # pure-dp mesh: shard_map the kernel over `data`; weight
+            # grads psum'd inside (ops/pallas_gru.py dp wrapper)
+            h_seq = pallas_gru.stacked_gru_pallas_dp(
+                pre, w_hh, b_hh, h0, mesh, mesh_lib.DATA_AXIS)
+            return h_seq, h_seq[:, -1]
+        # tp mesh (or indivisible batch, or CPU): fall through to the XLA
+        # scan, which GSPMD partitions over the gate dimension
 
     def body(h, pre_t):
         pre_h = jnp.einsum("lbh,lhg->lbg", h, w_hh) + b_hh[:, None, :]
@@ -183,19 +180,11 @@ def stacked_gru_scan(pre: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
 
 
 def _embed_kernel_dispatch(B: int):
-    """Which embedded-token pallas path applies under the current backend /
-    trace mesh: 'single', 'dp', or None (fall back to the generic scan)."""
+    """Which embedded-token pallas path applies here ('single'/'dp'/None).
+    Thin alias over the one shared rule (pallas_gru.kernel_dispatch);
+    benchmarks monkeypatch THIS name to force the generic path."""
     from music_fader_nets_tpu.ops import pallas_gru
-    if jax.default_backend() != "tpu" and not pallas_gru.INTERPRET:
-        return None, None
-    from music_fader_nets_tpu.parallel import mesh as mesh_lib
-    mesh = mesh_lib.current_trace_mesh()
-    if mesh is None or mesh.size == 1:
-        return "single", None
-    n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
-    if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1 and B % n_data == 0:
-        return "dp", mesh
-    return None, None
+    return pallas_gru.kernel_dispatch(B)
 
 
 def multi_gru_final_states(params: list, x: jax.Array,

@@ -35,6 +35,25 @@ F32 = jnp.float32
 INTERPRET = False
 
 
+def kernel_dispatch(B: int):
+    """The ONE applicability rule for every pallas training kernel here.
+
+    Returns ('single', None) on a bare TPU (or interpret mode),
+    ('dp', mesh) under a pure-dp trace mesh with a divisible batch (the
+    shard_map wrappers apply), and (None, None) otherwise — tp meshes and
+    CPU fall back to the GSPMD-partitionable XLA scans."""
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return None, None
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.current_trace_mesh()
+    if mesh is None or mesh.size == 1:
+        return "single", None
+    n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
+    if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1 and B % n_data == 0:
+        return "dp", mesh
+    return None, None
+
+
 def _gates_f32(pre_x, pre_h, h):
     H = h.shape[-1]
     r = jax.nn.sigmoid(pre_x[:, :H] + pre_h[:, :H])
@@ -376,7 +395,7 @@ def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
       b_hh[:, None, :], h0)
 
 
-def _bwd_embed_kernel(precision, lb, Vp, T, g_final,
+def _bwd_embed_kernel(precision, lb, Vp, T,
                       tok_ref, hseq_ref, h0_ref, g_ref, wih_ref, bih_ref,
                       w_ref, b_ref,
                       dwih_ref, dbih_ref, dw_ref, db_ref, dh0_ref, dh_c):
@@ -407,14 +426,11 @@ def _bwd_embed_kernel(precision, lb, Vp, T, g_final,
         H = h_prev.shape[-1]
         hn_h = pre_h[:, 2 * H:]
 
-        if g_final:
-            # encoder use case: cotangent only on the FINAL state — no
-            # (L,T,B,H) zero-padded stream exists in HBM
-            dh_total = dh_c[j] + jnp.where(
-                t_rev == 0, g_ref[j].astype(F32),
-                jnp.zeros_like(dh_c[j]))
-        else:
-            dh_total = g_ref[j, 0].astype(F32) + dh_c[j]
+        # encoder use case: cotangent only on the FINAL state — no
+        # (L,T,B,H) zero-padded stream exists in HBM
+        dh_total = dh_c[j] + jnp.where(
+            t_rev == 0, g_ref[j].astype(F32),
+            jnp.zeros_like(dh_c[j]))
         dn = dh_total * (1.0 - z)
         dz = dh_total * (h_prev - n)
         dan = dn * (1.0 - n * n)
@@ -446,26 +462,23 @@ def _bwd_embed_kernel(precision, lb, Vp, T, g_final,
             dh0_ref[j] = dh_prev.astype(dh0_ref.dtype)
 
 
-def _bwd_embed_pallas(tok_lt, h_seq, h0, g, w_ih, b_ih, w_hh, b_hh,
-                      precision=None, g_final=False):
-    """g: cotangent on h_seq (L,T,B,H), or — when g_final — only on the
-    final state (L,B,H), kept VMEM-resident and applied at the last step."""
+def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
+                      precision=None):
+    """g_fin: cotangent on the FINAL states only (L,B,H) — the encoder use
+    case; kept VMEM-resident and applied at the last step."""
     L, T, B = tok_lt.shape
     H = h0.shape[-1]
     G = w_hh.shape[-1]
     Vp = w_ih.shape[1]
     rev3 = lambda l, t: (l, T - 1 - t, 0, 0)
-    rev4 = lambda l, t: (l, T - 1 - t, 0, 0)
     # h_prev stream: block t-1 of h_seq for step t = T-1-t_rev (clamped at
     # the edge; the kernel substitutes h0 there)
     prev4 = lambda l, t: (l, jnp.maximum(T - 2 - t, 0), 0, 0)
     res = lambda l, t: (l, 0, 0)
     lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=True)
-    g_spec = (pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM)
-              if g_final else
-              pl.BlockSpec((lb, 1, B, H), rev4, memory_space=pltpu.VMEM))
+    g_spec = pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM)
     dwih, dbih, dw, db, dh0 = pl.pallas_call(
-        functools.partial(_bwd_embed_kernel, precision, lb, Vp, T, g_final),
+        functools.partial(_bwd_embed_kernel, precision, lb, Vp, T),
         grid=(L // lb, T),
         in_specs=[
             pl.BlockSpec((lb, 1, 1, B), rev3, memory_space=pltpu.VMEM),
@@ -495,7 +508,7 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g, w_ih, b_ih, w_hh, b_hh,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(tok_lt[:, :, None, :], h_seq, h0, g, w_ih, b_ih[:, None, :], w_hh,
+    )(tok_lt[:, :, None, :], h_seq, h0, g_fin, w_ih, b_ih[:, None, :], w_hh,
       b_hh[:, None, :])
     return dwih, dbih[:, 0, :], dw, db[:, 0, :], dh0
 
@@ -507,40 +520,13 @@ def _float0_like(x):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def stacked_gru_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
-                             precision=None):
-    """Fused stacked GRU over ONE-HOT token inputs: the input projection is
-    an on-core embedding matmul of VMEM-resident w_ih (L, Vp, 3H); no
-    (L,T,B,3H) pre tensor exists. tok_lt (L, T, B) int32 is already
-    time-flipped for reversed directions and carries no gradient.
-    Returns h_seq (L, T, B, H). Same recurrence math as
-    `ops.gru.stacked_gru_scan`."""
-    return _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
-
-
-def _embed_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision):
-    h_seq = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
-    return h_seq, (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
-
-
-def _embed_vjp_bwd(precision, res, g_seq):
-    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
-    dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
-        tok_lt, h_seq, h0, g_seq.astype(h_seq.dtype), w_ih, b_ih, w_hh, b_hh,
-        precision)
-    return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
-            dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
-            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
-
-
-stacked_gru_embed_pallas.defvjp(_embed_vjp_fwd, _embed_vjp_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def stacked_gru_embed_finals(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
                              precision=None):
-    """`stacked_gru_embed_pallas` returning ONLY the final states (L,B,H) —
-    the encoder use case. The backward applies the (L,B,H) cotangent at the
+    """Fused stacked GRU over ONE-HOT token inputs, returning ONLY the
+    final states (L,B,H) — the encoder use case. The input projection is an
+    on-core embedding matmul of VMEM-resident w_ih (L, Vp, 3H); no
+    (L,T,B,3H) pre tensor exists. tok_lt (L, T, B) int32 is already
+    time-flipped for reversed directions and carries no gradient. The backward applies the (L,B,H) cotangent at the
     last step directly; no zero-padded (L,T,B,H) cotangent stream is ever
     materialized in HBM."""
     h_seq = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
@@ -556,7 +542,7 @@ def _embed_fin_vjp_bwd(precision, res, g_fin):
     tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
     dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
         tok_lt, h_seq, h0, g_fin.astype(h_seq.dtype), w_ih, b_ih, w_hh, b_hh,
-        precision, g_final=True)
+        precision)
     return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
             dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
             db.astype(b_hh.dtype), dh0.astype(h0.dtype))
@@ -584,47 +570,6 @@ def _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def stacked_gru_embed_pallas_dp(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
-                                mesh, axis: str = "data", precision=None):
-    """`stacked_gru_embed_pallas` over a pure-dp mesh: tokens and h0 are
-    batch-sharded, weights replicated, weight grads psum'd over `axis`."""
-    return _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
-                              mesh, axis, precision)
-
-
-def _embed_dp_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
-                      precision):
-    h_seq = _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
-                               mesh, axis, precision)
-    return h_seq, (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
-
-
-def _embed_dp_vjp_bwd(mesh, axis, precision, res, g_seq):
-    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
-    tk, b4, b3, rep = _embed_dp_specs(axis)
-
-    def body(tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_):
-        dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
-            tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_, precision)
-        return (jax.lax.psum(dwih, axis), jax.lax.psum(dbih, axis),
-                jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
-
-    f = jax.shard_map(body, mesh=mesh,
-                      in_specs=(tk, b4, b3, b4, rep, rep, rep, rep),
-                      out_specs=(rep, rep, rep, rep, b3),
-                      check_vma=False)
-    dwih, dbih, dw, db, dh0 = f(tok_lt, h_seq, h0,
-                                g_seq.astype(h_seq.dtype),
-                                w_ih, b_ih, w_hh, b_hh)
-    return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
-            dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
-            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
-
-
-stacked_gru_embed_pallas_dp.defvjp(_embed_dp_vjp_fwd, _embed_dp_vjp_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def stacked_gru_embed_finals_dp(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
                                 mesh, axis: str = "data", precision=None):
     """Finals-only embed kernel over a pure-dp mesh."""
@@ -646,8 +591,7 @@ def _embed_fin_dp_vjp_bwd(mesh, axis, precision, res, g_fin):
 
     def body(tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_):
         dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
-            tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_, precision,
-            g_final=True)
+            tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_, precision)
         return (jax.lax.psum(dwih, axis), jax.lax.psum(dbih, axis),
                 jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
 
@@ -1237,7 +1181,7 @@ def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     (= -log_softmax(logits)[target], nll_mean semantics before the mean —
     padding positions included, reference trainer.py:98-103). Only valid on
     the single-device/TPU path; caller must check
-    `decoder_teacher_fused_applicable` and mesh==None."""
+    `kernel_dispatch(B)[0] == 'single'`."""
     B, T = tokens.shape
     w_ih = p["grucell_g"]["w_ih"]
     Vp = ((V + 127) // 128) * 128
@@ -1372,27 +1316,13 @@ def decoder_teacher_fused(p: dict, z, tokens, V: int, precision=None):
             p["grucell_g_2"]["b_ih"], p["grucell_g_2"]["w_hh"],
             p["grucell_g_2"]["b_hh"], h1_0.astype(w_tok.dtype))
     from music_fader_nets_tpu.parallel import mesh as mesh_lib
-    mesh = mesh_lib.current_trace_mesh()
-    if mesh is not None and mesh.size > 1:
+    kind, mesh = kernel_dispatch(B)
+    if kind == "dp":
         h2_seq = _dec_teacher_core_dp(*args, mesh, mesh_lib.DATA_AXIS,
                                       precision)
     else:
         h2_seq = _dec_teacher_core(*args, precision)
     return jnp.swapaxes(h2_seq, 0, 1)                           # (B, T, H)
-
-
-def decoder_teacher_fused_applicable(B: int) -> bool:
-    """True when the fused decoder kernel can run here: TPU (or interpret
-    mode), and any active mesh is pure-dp with a divisible batch."""
-    if jax.default_backend() != "tpu" and not INTERPRET:
-        return False
-    from music_fader_nets_tpu.parallel import mesh as mesh_lib
-    mesh = mesh_lib.current_trace_mesh()
-    if mesh is None or mesh.size == 1:
-        return True
-    n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
-    return (mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1
-            and B % n_data == 0)
 
 
 # ---------------------------------------------------------------------------

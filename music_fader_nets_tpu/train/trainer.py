@@ -149,10 +149,30 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _place(self, batch):
-        if self.mesh is not None:
-            return mesh_lib.shard_batch(batch, self.mesh)
-        return batch
+    def _local_batch_size(self, bs: int) -> int:
+        """Per-host batch rows. On multi-host meshes each process feeds only
+        its addressable slice of the global batch (the corpus was already
+        sharded per process by data.loader.shard_arrays_for_process), so
+        host-side batches hold bs // process_count rows."""
+        pc = jax.process_count()
+        if self.mesh is None or pc <= 1:
+            return bs
+        if bs % pc:
+            raise ValueError(f"global batch {bs} not divisible by "
+                             f"process_count {pc}")
+        return bs // pc
+
+    def _place(self, batch, global_bs: Optional[int] = None):
+        if self.mesh is None:
+            return batch
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+            gb = global_bs or self.cfg.batch_size
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sh, np.asarray(x), (gb,) + x.shape[1:]), batch)
+        return mesh_lib.shard_batch(batch, self.mesh)
 
     def _stack_epoch(self, arrays, bs, shuffle, seed):
         """(n_batches, B, ...) stacked epoch arrays (host-side gather)."""
@@ -181,8 +201,9 @@ class Trainer:
         if n_items == 0:
             return {}
         bs = min(bs, n_items)       # small split: one smaller batch
+        bs_local = self._local_batch_size(bs)
         if compiled:
-            stacked, nb = self._stack_epoch(arrays, bs, shuffle, seed)
+            stacked, nb = self._stack_epoch(arrays, bs_local, shuffle, seed)
             if nb == 0:
                 return {}
             key = (variant, train, nb, bs)
@@ -192,8 +213,16 @@ class Trainer:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 sh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
-                stacked = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sh), stacked)
+                if jax.process_count() > 1:
+                    # assemble global (nb, bs, ...) arrays from each host's
+                    # (nb, bs/pc, ...) slice — device_put would wrongly
+                    # treat the host-local slice as the global value
+                    stacked = jax.tree_util.tree_map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            sh, x, (nb, bs) + x.shape[2:]), stacked)
+                else:
+                    stacked = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sh), stacked)
             rng = jax.random.fold_in(self.base_rng, self._host_step)
             self._host_step += nb
             if train:
@@ -206,12 +235,13 @@ class Trainer:
         step_fn = (self._train_steps if train else self._eval_steps)[variant]
         totals = None
         n = 0
-        for batch in batch_iterator(arrays, bs, shuffle=shuffle, seed=seed):
+        for batch in batch_iterator(arrays, bs_local, shuffle=shuffle,
+                                    seed=seed):
             # host-side step counter for the RNG stream: avoids a device
             # sync per batch (reading state.step would stall the pipeline)
             rng = jax.random.fold_in(self.base_rng, self._host_step)
             self._host_step += 1
-            batch = self._place(batch)
+            batch = self._place(batch, global_bs=bs)
             if train:
                 self.state, metrics = step_fn(self.state, batch, rng)
             else:

@@ -142,7 +142,7 @@ def check_roundtrip(sd) -> bool:
     ok = set(ref) == set(back)
     if not ok:
         print("  key sets differ:", set(ref) ^ set(back))
-    for k in ref:
+    for k in sorted(set(ref) & set(back)):   # report FAIL, don't KeyError
         if not np.allclose(ref[k], back[k], atol=1e-6):
             print(f"  mismatch at {k}: max|d|="
                   f"{np.abs(ref[k] - back[k]).max():.3g}")

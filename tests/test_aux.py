@@ -150,3 +150,24 @@ def test_trainer_epoch_on_process_shard():
     tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
     m = tr.run_epoch(s0, seed=0)
     assert np.isfinite(m["loss"])
+
+
+def test_trainer_local_batch_size_multihost(monkeypatch):
+    """Multi-host feeding splits the GLOBAL batch across processes (each
+    host stacks bs // pc rows; the trainer assembles global arrays) —
+    regression for the double-sharding where each host fed full-bs batches
+    from its private corpus shard."""
+    from music_fader_nets_tpu.parallel.mesh import make_mesh
+    from music_fader_nets_tpu.train.trainer import Trainer
+    from music_fader_nets_tpu.config import ModelConfig
+    import pytest as _pytest
+
+    cfg = ModelConfig(hidden_dims=8, z_dims=4, batch_size=16, seq_len=8,
+                      attr_len=4)
+    tr = Trainer(cfg, models.init_reg_vae, {"default": lambda *a, **k: 0},
+                 mesh=make_mesh(8, 1))
+    assert tr._local_batch_size(16) == 16          # single process: full bs
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert tr._local_batch_size(16) == 4           # bs // pc per host
+    with _pytest.raises(ValueError):
+        tr._local_batch_size(18)                   # indivisible global bs

@@ -154,3 +154,25 @@ def test_greedy_decode_deterministic():
     a = models.reg_vae_global_decode(p, z, 10)
     b = models.reg_vae_global_decode(p, z, 10)
     np.testing.assert_array_equal(np.argmax(a, -1), np.argmax(b, -1))
+
+
+def test_encoder_stream_apply_matches_fused():
+    """encoder_stream_apply is the readable single-stream spec that
+    encode_streams_fused's docstring promises to match — pin it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from music_fader_nets_tpu.models.modules import (
+        encode_streams_fused, encoder_stream_apply, encoder_stream_init,
+    )
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 4)
+    views = [encoder_stream_init(ks[i], 13, 8, 6) for i in range(3)]
+    x_oh = jax.nn.one_hot(jax.random.randint(ks[3], (4, 9), 0, 13), 13)
+    fused = encode_streams_fused(views, x_oh)
+    for v, (mu_f, std_f) in zip(views, fused):
+        mu, std = encoder_stream_apply(v, x_oh)
+        np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(std_f), np.asarray(std),
+                                   atol=1e-5)
