@@ -425,3 +425,36 @@ def test_fused_decoder_edge_shapes(T, B):
     ref = global_decoder_teacher(p, z, x_oh, use_pallas=False)
     got = global_decoder_teacher(p, z, x_oh, use_pallas=True, tokens=tok)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fused_nll_path_activates(monkeypatch):
+    """The training objectives must actually reach the CE-fused kernel on
+    the single-device path (a silent fallback to decode+gather would be
+    numerically identical but ~7% slower — catch the regression here)."""
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+    from music_fader_nets_tpu.ops import pallas_gru
+    from music_fader_nets_tpu.train.objectives import gmm_loss
+
+    calls = []
+    orig = pallas_gru.decoder_teacher_fused_nll
+    monkeypatch.setattr(pallas_gru, "decoder_teacher_fused_nll",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    cfg = ModelConfig(hidden_dims=16, z_dims=8, seq_len=10, attr_len=4,
+                      use_pallas_gru=True)
+    key = jax.random.PRNGKey(0)
+    p = models.init_reg_gmvae(key, cfg)
+    ks = jax.random.split(key, 6)
+    batch = {
+        "x": jax.random.randint(ks[0], (4, 10), 0, 342),
+        "r": jax.random.randint(ks[1], (4, 4), 0, 3),
+        "n": jax.random.randint(ks[2], (4, 4), 0, 16),
+        "c": jax.random.uniform(ks[3], (4, 24)),
+        "r_density": jax.random.uniform(ks[4], (4,)),
+        "n_density": jax.random.uniform(ks[5], (4,)),
+    }
+    loss, _ = gmm_loss(p, key, batch, jnp.asarray(0), cfg)
+    assert calls, "gmm_loss did not reach decoder_teacher_fused_nll"
+    assert np.isfinite(float(loss))
