@@ -92,19 +92,27 @@ def test_rhythm_vectorized_matches_listwise():
 
 
 def test_native_speedup():
-    """The native path should beat pure Python comfortably on a large roll."""
+    """The native path should beat pure Python comfortably on a large roll.
+    Best-of-3 timings: single-shot wall times flake under CPU contention."""
     import time
     rng = np.random.default_rng(4)
     notes = _random_notes(rng, n=3000)
-    t0 = time.perf_counter()
-    toks = performance_codec.performance_encode(notes)
-    t_native = time.perf_counter() - t0
+
+    def best_of(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_native, toks = best_of(
+        lambda: performance_codec.performance_encode(notes))
     flag = native.HAVE_NATIVE
     try:
         native.HAVE_NATIVE = False
-        t0 = time.perf_counter()
-        performance_codec.performance_encode(notes)
-        t_py = time.perf_counter() - t0
+        t_py, _ = best_of(
+            lambda: performance_codec.performance_encode(notes))
     finally:
         native.HAVE_NATIVE = flag
     assert len(toks) > 3000
