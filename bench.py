@@ -49,9 +49,10 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
     # compiled whole-epoch path (what the trainer CLIs run): no per-step
     # host dispatch, so the number reflects device throughput rather than
     # the tunnel's load-dependent RPC latency
-    step_t = tr.compiled_step_time(yam.arrays(), iters=iters)
+    step_t, windows = tr.compiled_step_time(yam.arrays(), iters=iters,
+                                            spread=True)
     if not decode:
-        return batch_size / step_t, step_t, None
+        return batch_size / step_t, step_t, None, windows
 
     # secondary north-star: p50 arousal-transfer decode latency (B=1, 300
     # steps) through the VMEM-resident Pallas kernel
@@ -75,7 +76,8 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
     for _i in range(N):
         toks, z = dec(tr.params, z)
     _ = int(np.asarray(toks)[0, 0])
-    return batch_size / step_t, step_t, (time.perf_counter() - t0) / N
+    return (batch_size / step_t, step_t, (time.perf_counter() - t0) / N,
+            windows)
 
 
 def measure_torch_baseline(batch_size: int, seq_len: int, attr_len: int,
@@ -111,26 +113,34 @@ def main():
                     help="measure only the short (T=100) variant")
     args = ap.parse_args()
 
-    seqs_per_sec, step_t, decode_p50 = measure_jax(
+    seqs_per_sec, step_t, decode_p50, windows = measure_jax(
         args.batch_size, args.seq_len, args.attr_len, args.iters, args.dtype)
     baseline = None if args.skip_baseline else measure_torch_baseline(
         args.batch_size, args.seq_len, args.attr_len, args.refresh_baseline)
 
+    import statistics
     result = {
         "metric": "gmvae_train_seqs_per_sec_per_chip",
         "value": round(seqs_per_sec, 1),
         "unit": "seq/s",
         "vs_baseline": round(seqs_per_sec / baseline, 2) if baseline else None,
+        # best/median/worst of the 3 timing windows: makes perf-delta claims
+        # falsifiable against the measured noise floor
+        "step_ms_best": round(min(windows) * 1e3, 3),
+        "step_ms_median": round(statistics.median(windows) * 1e3, 3),
+        "step_ms_worst": round(max(windows) * 1e3, 3),
     }
 
     long_note = ""
     if not args.skip_long:
         # long corpus variant: 64-step / <=250-token segments (ptb_v2.py:303)
-        l_sps, l_step_t, _ = measure_jax(
+        l_sps, l_step_t, _, l_windows = measure_jax(
             args.batch_size, 250, 64, args.iters, args.dtype, decode=False)
         l_base = None if args.skip_baseline else measure_torch_baseline(
             args.batch_size, 250, 64, args.refresh_baseline)
         result["long_seqs_per_sec"] = round(l_sps, 1)
+        result["long_step_ms_median"] = round(
+            statistics.median(l_windows) * 1e3, 3)
         result["long_vs_baseline"] = (round(l_sps / l_base, 2)
                                       if l_base else None)
         long_note = (f"; long T=250 step={l_step_t * 1e3:.2f}ms "

@@ -41,8 +41,6 @@ def main():
                   f"({128 / t:.0f} seq/s)", flush=True)
             continue
         if pol == "old":
-            def old(L, B, H, G, itemsize, bwd=False):
-                return orig(L, 2 * B if bwd else B, H, G, itemsize)
             # old = 13MB budget, bwd pretends 2B; emulate via tiny budget
             def old13(L, B, H, G, itemsize, bwd=False):
                 budget = 13 * 1024 * 1024

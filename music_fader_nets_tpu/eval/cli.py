@@ -102,10 +102,17 @@ def run_evaluation(kind: str, description: str, argv=None,
             return (reparameterize(kr, mu_r, std_r),
                     reparameterize(kn, mu_n, std_n))
 
+        # slider ranges come from the TEST split's z extremes; the density
+        # normalizers from the TRAIN split (reference test_vanilla_v2.py:
+        # 148-150 evaluates on test_x_loader after run_through on train)
         stats = latent_stats(encode_batched, yam["train"].arrays(), cfg)
-        print("latent stats:", stats)
-        for target, lo, hi in (("rhythm", stats["z_r_min"], stats["z_r_max"]),
-                               ("note", stats["z_n_min"], stats["z_n_max"])):
+        stats_te = latent_stats(encode_batched, yam["test"].arrays(), cfg)
+        print("latent stats (train):", stats)
+        print("latent stats (test):", stats_te)
+        for target, lo, hi in (("rhythm", stats_te["z_r_min"],
+                                stats_te["z_r_max"]),
+                               ("note", stats_te["z_n_min"],
+                                stats_te["z_n_max"])):
             print(f"=== {target} fader ===")
             ev = ControllabilityEvaluator(
                 params, cfg, encode, decode, target=target, epochs=ep,
@@ -123,7 +130,9 @@ def run_evaluation(kind: str, description: str, argv=None,
             return z, z[:, 1:]          # dims 0/1 of the single latent
 
         stats = latent_stats(encode_batched, yam["train"].arrays(), cfg)
-        print("latent stats:", stats)
+        stats_te = latent_stats(encode_batched, yam["test"].arrays(), cfg)
+        print("latent stats (train):", stats)
+        print("latent stats (test):", stats_te)
         # direct z-space monotonicity on encoder means
         # (reference test_singlevae_v2.py:311-330)
         from music_fader_nets_tpu.eval.controllability import latent_monotonicity
@@ -135,8 +144,10 @@ def run_evaluation(kind: str, description: str, argv=None,
 
         print("z-space monotonicity:",
               latent_monotonicity(encode_means, yam["test"].arrays(), cfg))
-        for target, lo, hi in (("rhythm", stats["z_r_min"], stats["z_r_max"]),
-                               ("note", stats["z_n_min"], stats["z_n_max"])):
+        for target, lo, hi in (("rhythm", stats_te["z_r_min"],
+                                stats_te["z_r_max"]),
+                               ("note", stats_te["z_n_min"],
+                                stats_te["z_n_max"])):
             print(f"=== {target} fader ===")
             ev = SingleVAEControllabilityEvaluator(
                 params, cfg, models.single_vae_encode,

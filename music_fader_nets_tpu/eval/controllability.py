@@ -100,7 +100,9 @@ def latent_stats(encode_batched: Callable, arrays: Dict[str, np.ndarray],
     `run_through`/`train_test_evaluation` pass of the reference eval scripts
     (test_vanilla_v2.py:20-100)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    encode_batched = jax.jit(encode_batched)   # eager scans are RPC storms
+    # cached jit (eager scans are RPC storms): a fresh jax.jit wrapper per
+    # call would recompile the corpus-encode program on every invocation
+    encode_batched = _jit_cached(encode_batched)
     z_r0, z_n0 = [], []
     n = len(arrays["x"])
     batch_size = min(batch_size, n)

@@ -32,6 +32,9 @@ F32 = jnp.float32
 # Interpreter-mode escape hatch so CPU tests (and the driver's multichip
 # dryrun) can exercise the kernel + its shard_map composition without TPU
 # hardware. Consulted at trace time by every pallas_call below.
+# NB: flipping this also makes `kernel_dispatch` treat NON-TPU backends as
+# kernel-applicable, rerouting production numerics through interpreted
+# kernels — it is a test-only knob, never set it in library code.
 INTERPRET = False
 
 

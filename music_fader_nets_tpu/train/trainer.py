@@ -200,7 +200,12 @@ class Trainer:
         n_items = len(next(iter(arrays.values())))
         if n_items == 0:
             return {}
-        bs = min(bs, n_items)       # small split: one smaller batch
+        # small split: one smaller batch. On multi-host, `arrays` holds this
+        # process's shard, so the GLOBAL item count is n_items * process_count
+        # — clamping against the local count would shrink the global batch
+        # below what _local_batch_size later divides by.
+        pc = jax.process_count() if self.mesh is not None else 1
+        bs = min(bs, n_items * pc)
         bs_local = self._local_batch_size(bs)
         if compiled:
             stacked, nb = self._stack_epoch(arrays, bs_local, shuffle, seed)
@@ -291,13 +296,19 @@ class Trainer:
 
     def compiled_step_time(self, arrays, variant: str = "default",
                            iters: int = 20,
-                           batch_size: Optional[int] = None) -> float:
+                           batch_size: Optional[int] = None,
+                           spread: bool = False):
         """Seconds/step of the compiled whole-epoch path (`run_epoch`
         compiled=True): `iters` train steps inside ONE jitted `lax.scan`,
         timed with a single host fetch. This is the path every trainer CLI
         runs, and unlike `steady_state_step_time` it contains no per-step
         host dispatch — on a tunneled TPU the dispatch RPC (1-10ms,
-        load-dependent) otherwise swamps a ~7ms device step."""
+        load-dependent) otherwise swamps a ~7ms device step.
+
+        Timing runs on a COPY of the trainer state (the epoch fn donates and
+        advances it), so calling this never perturbs a live training run.
+        Returns the best window; pass spread=True for (best, [window times]).
+        """
         bs = batch_size or self.cfg.batch_size
         n = len(next(iter(arrays.values())))
         reps = (iters * bs + n - 1) // n
@@ -313,9 +324,12 @@ class Trainer:
                 self._loss_fns[variant], True)
         fn = self._epoch_fns[key]
         rng = self.base_rng
-        state, metrics = fn(self.state, stacked, rng)   # compile + warm
+        # fresh buffers: the epoch fn donates its state argument, so timing
+        # on self.state directly would invalidate AND advance the live state
+        state = jax.tree_util.tree_map(jnp.copy, self.state)
+        state, metrics = fn(state, stacked, rng)        # compile + warm
         float(np.asarray(metrics["loss"]))              # real sync
-        best = float("inf")
+        windows = []
         for _w in range(3):
             # chain 3 epoch programs per host fetch: the fetch itself is a
             # ~40ms tunnel RPC that would otherwise bias the per-step time
@@ -323,9 +337,9 @@ class Trainer:
             for _c in range(3):
                 state, metrics = fn(state, stacked, rng)
             float(np.asarray(metrics["loss"]))
-            best = min(best, (time.perf_counter() - t0) / (3 * nb))
-        self.state = state
-        return best
+            windows.append((time.perf_counter() - t0) / (3 * nb))
+        best = min(windows)
+        return (best, windows) if spread else best
 
     def steady_state_step_time(self, arrays, variant: str = "default",
                                warmup: int = 3, iters: int = 20,
