@@ -277,9 +277,10 @@ def global_decoder_teacher_nll(p, z: jax.Array, x_oh: jax.Array,
     if use_pallas and tokens is not None:
         from music_fader_nets_tpu.ops import pallas_gru
         B, T, V = x_oh.shape
-        # the CE-fused kernel has no dp wrapper: single-device only; dp
+        # CE-fused kernel applies on bare TPU AND pure-dp meshes (batch
+        # sharded via shard_map, ops/pallas_gru.py:_dec_nll_core_dp); tp
         # meshes use the fused decoder + gather fallback below
-        if pallas_gru.kernel_dispatch(B)[0] == "single":
+        if pallas_gru.kernel_dispatch(B)[0] is not None:
             return pallas_gru.decoder_teacher_fused_nll(p, z, tokens, V)
     logp = global_decoder_teacher(p, z, x_oh, use_pallas=use_pallas,
                                   tokens=tokens)

@@ -1179,12 +1179,108 @@ def _dec_nll_vjp_bwd(precision, res, g_ce):
 _dec_nll_core.defvjp(_dec_nll_vjp_fwd, _dec_nll_vjp_bwd)
 
 
+# -- dp composition of the CE-fused decoder: tokens/targets and the
+# per-batch pre_z/h1_0 are sharded over `data`, weights replicated, weight
+# grads psum'd — the same recipe as _dec_teacher_core_dp, extended with the
+# (H,Vp) logits head. Per-shard each device runs the full fused kernel on
+# its batch slice; the (B,T,V) log-prob tensor never exists on any device.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def _dec_nll_core_dp(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                     whh2, bhh2, h1_0, wout_bout, mesh, axis="data",
+                     precision=None):
+    from jax.sharding import PartitionSpec as P
+    tk, bb, rep = P(None, axis), P(axis, None), P()
+    w_out, b_out = wout_bout
+
+    def body(tok_, tgt_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
+             bhh2_, h10_, wout_, bout_):
+        _, _, ce = _dec_fwd_ce_pallas(tok_, tgt_, wtok_, prez_, whh1_, bhh1_,
+                                      wih2_, bih2_, whh2_, bhh2_, h10_,
+                                      wout_, bout_, precision)
+        return ce[:, 0, :]
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, tk, rep, bb, rep, rep, rep, rep, rep,
+                                rep, bb, rep, rep),
+                      out_specs=tk, check_vma=False)
+    return f(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
+             h1_0, w_out, b_out)
+
+
+def _dec_nll_dp_vjp_fwd(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                        whh2, bhh2, h1_0, wout_bout, mesh, axis, precision):
+    from jax.sharding import PartitionSpec as P
+    tk, b4, bb, rep = (P(None, axis), P(None, axis, None), P(axis, None),
+                       P())
+    w_out, b_out = wout_bout
+
+    def body(tok_, tgt_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
+             bhh2_, h10_, wout_, bout_):
+        h1s, h2s, ce = _dec_fwd_ce_pallas(
+            tok_, tgt_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
+            bhh2_, h10_, wout_, bout_, precision)
+        return h1s, h2s, ce[:, 0, :]
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, tk, rep, bb, rep, rep, rep, rep, rep,
+                                rep, bb, rep, rep),
+                      out_specs=(b4, b4, tk), check_vma=False)
+    h1_seq, h2_seq, ce = f(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2,
+                           bih2, whh2, bhh2, h1_0, w_out, b_out)
+    return ce, (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+                wih2, bih2, whh2, bhh2, h1_0, w_out, b_out)
+
+
+def _dec_nll_dp_vjp_bwd(mesh, axis, precision, res, g_ce):
+    (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+     wih2, bih2, whh2, bhh2, h1_0, w_out, b_out) = res
+    from jax.sharding import PartitionSpec as P
+    tk, b4, bb, rep = (P(None, axis), P(None, axis, None), P(axis, None),
+                       P())
+
+    def body(tok_, tgt_, h1s_, h2s_, g_, wtok_, prez_, whh1_, bhh1_, wih2_,
+             bih2_, whh2_, bhh2_, h10_, wout_, bout_):
+        out = _dec_bwd_ce_pallas(tok_, tgt_, h1s_, h2s_, g_, wtok_, prez_,
+                                 whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
+                                 h10_, wout_, bout_, precision)
+        (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+         dwout, dbout) = out
+        return (jax.lax.psum(dwtok, axis), dprez,
+                jax.lax.psum(dwhh1, axis), jax.lax.psum(dbhh1, axis),
+                jax.lax.psum(dwih2, axis), jax.lax.psum(dbih2, axis),
+                jax.lax.psum(dwhh2, axis), jax.lax.psum(dbhh2, axis), dh10,
+                jax.lax.psum(dwout, axis), jax.lax.psum(dbout, axis))
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, tk, b4, b4, tk, rep, bb, rep, rep, rep,
+                                rep, rep, rep, bb, rep, rep),
+                      out_specs=(rep, bb, rep, rep, rep, rep, rep, rep, bb,
+                                 rep, rep),
+                      check_vma=False)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+     dwout, dbout) = f(tok_t, tgt_t, h1_seq, h2_seq, g_ce.astype(F32),
+                       w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
+                       h1_0, w_out, b_out)
+    return (_float0_like(tok_t), _float0_like(tgt_t),
+            dwtok.astype(w_tok.dtype), dprez.astype(pre_z.dtype),
+            dwhh1.astype(whh1.dtype), dbhh1.astype(bhh1.dtype),
+            dwih2.astype(wih2.dtype), dbih2.astype(bih2.dtype),
+            dwhh2.astype(whh2.dtype), dbhh2.astype(bhh2.dtype),
+            dh10.astype(h1_0.dtype),
+            (dwout.astype(w_out.dtype), dbout.astype(b_out.dtype)))
+
+
+_dec_nll_core_dp.defvjp(_dec_nll_dp_vjp_fwd, _dec_nll_dp_vjp_bwd)
+
+
 def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     """Teacher decode + CE in one kernel: returns per-position NLL (B, T)
     (= -log_softmax(logits)[target], nll_mean semantics before the mean —
-    padding positions included, reference trainer.py:98-103). Only valid on
-    the single-device/TPU path; caller must check
-    `kernel_dispatch(B)[0] == 'single'`."""
+    padding positions included, reference trainer.py:98-103). Valid when
+    `kernel_dispatch(B)[0]` is 'single' (bare TPU) or 'dp' (pure-dp mesh:
+    batch-sharded shard_map, weight grads psum'd)."""
     B, T = tokens.shape
     w_ih = p["grucell_g"]["w_ih"]
     Vp = ((V + 127) // 128) * 128
@@ -1199,13 +1295,18 @@ def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     w_out = jnp.pad(p["linear_out_g"]["w"], ((0, 0), (0, Vp - V)))
     b_out = jnp.pad(p["linear_out_g"]["b"], (0, Vp - V),
                     constant_values=-1e30)
-    ce_tb = _dec_nll_core(tok_t, jnp.swapaxes(tgt, 0, 1), w_tok,
-                          pre_z.astype(w_tok.dtype), p["grucell_g"]["w_hh"],
-                          p["grucell_g"]["b_hh"], p["grucell_g_2"]["w_ih"],
-                          p["grucell_g_2"]["b_ih"], p["grucell_g_2"]["w_hh"],
-                          p["grucell_g_2"]["b_hh"],
-                          h1_0.astype(w_tok.dtype), (w_out, b_out),
-                          precision)
+    args = (tok_t, jnp.swapaxes(tgt, 0, 1), w_tok,
+            pre_z.astype(w_tok.dtype), p["grucell_g"]["w_hh"],
+            p["grucell_g"]["b_hh"], p["grucell_g_2"]["w_ih"],
+            p["grucell_g_2"]["b_ih"], p["grucell_g_2"]["w_hh"],
+            p["grucell_g_2"]["b_hh"], h1_0.astype(w_tok.dtype),
+            (w_out, b_out))
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    kind, mesh = kernel_dispatch(B)
+    if kind == "dp":
+        ce_tb = _dec_nll_core_dp(*args, mesh, mesh_lib.DATA_AXIS, precision)
+    else:
+        ce_tb = _dec_nll_core(*args, precision)
     return jnp.swapaxes(ce_tb, 0, 1)                          # (B, T)
 
 

@@ -346,6 +346,35 @@ def test_fused_decoder_dp_matches_single():
         np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
 
 
+def test_fused_ce_dp_matches_single():
+    """CE-fused NLL kernel over a pure-dp mesh (_dec_nll_core_dp): value and
+    parameter/z gradients equal the single-device fused kernel and the scan
+    fallback."""
+    from music_fader_nets_tpu.models.modules import global_decoder_teacher_nll
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    p, z, tok, x_oh = _dec_case(B=16, T=6, seed=11)
+    mesh = mesh_lib.make_mesh(8, 1)
+
+    def loss(in_mesh, use_pallas=True):
+        def f(p, z):
+            with mesh_lib.trace_mesh_scope(in_mesh):
+                nll = global_decoder_teacher_nll(p, z, x_oh, tok, tok,
+                                                 use_pallas=use_pallas)
+            return jnp.mean(nll)
+        return f
+
+    v_scan = loss(None, use_pallas=False)(p, z)
+    v1 = loss(None)(p, z)
+    v8 = loss(mesh)(p, z)
+    np.testing.assert_allclose(v1, v_scan, rtol=1e-5)
+    np.testing.assert_allclose(v8, v1, atol=1e-6)
+    g1 = jax.grad(loss(None), argnums=(0, 1))(p, z)
+    g8 = jax.grad(loss(mesh), argnums=(0, 1))(p, z)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
+
+
 def test_fused_ce_loss_and_grads_match(monkeypatch):
     """gmm_loss with the fused decode+CE kernel (nll_x path) equals the
     scan path in value AND parameter gradients."""
