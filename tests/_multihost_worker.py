@@ -15,6 +15,20 @@ import os
 import sys
 
 
+def corpus_arrays(n, cfg):
+    """Deterministic synthetic corpus as the trainer's array dict (shared by
+    the workers and the parent test's single-process reference run)."""
+    import numpy as np
+    from music_fader_nets_tpu.data.synthetic import synth_corpus
+    data, rhythm, note, chroma = synth_corpus(n, cfg.seq_len, cfg.attr_len)
+    return {
+        "x": data.astype(np.int32), "r": rhythm.astype(np.int32),
+        "n": note.astype(np.int32), "c": chroma.astype(np.float32),
+        "r_density": (rhythm == 1).mean(-1).astype(np.float32),
+        "n_density": note.mean(-1).astype(np.float32),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, required=True)
@@ -41,7 +55,6 @@ def main():
     from music_fader_nets_tpu.config import ModelConfig
     from music_fader_nets_tpu import models
     from music_fader_nets_tpu.data.loader import shard_arrays_for_process
-    from music_fader_nets_tpu.data.synthetic import synth_corpus
     from music_fader_nets_tpu.parallel import mesh as mesh_lib
     from music_fader_nets_tpu.train import Trainer
     from music_fader_nets_tpu.train.objectives import vanilla_loss
@@ -49,9 +62,7 @@ def main():
     cfg = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4,
                       batch_size=args.batch_size)
     # every host builds the same corpus (same seed), then keeps its shard
-    full = dict(zip(("x", "r", "n", "c", "r_density", "n_density"),
-                    synth_corpus(args.corpus_size + args.val_size,
-                                 cfg.seq_len, cfg.attr_len)))
+    full = corpus_arrays(args.corpus_size + args.val_size, cfg)
     train = {k: v[: args.corpus_size] for k, v in full.items()}
     val = {k: v[args.corpus_size:] for k, v in full.items()}
     train = shard_arrays_for_process(train)
