@@ -153,79 +153,110 @@ def _fwd_pallas(pre, w_hh, b_hh, h0, precision=None):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(precision, lb, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
-                dpre_ref, dw_ref, db_ref, dh0_ref, dh_c):
-    t_rev = pl.program_id(1)
-    T = pl.num_programs(1)
+def _pick_t_block(T: int, fits) -> int:
+    """Largest time-block size kt (a divisor of T, capped at 10) whose VMEM
+    need passes `fits(kt)`. Time-blocking batches the dW/db accumulation:
+    ONE rank-(kt*B) matmul + ONE accumulator read-modify-write per block
+    instead of kt rank-B matmuls + kt RMWs of the (H,G) f32 accumulator —
+    the dominant VMEM traffic of the backward pass at bench shapes."""
+    for kt in (10, 8, 5, 4, 2, 1):
+        if T % kt == 0 and fits(kt):
+            return kt
+    return 1
 
-    @pl.when(t_rev == 0)
+
+def _bwd_need(lb, kt, B, H, G, itemsize):
+    return lb * (2 * kt * B * G * itemsize        # pre (double buffer)
+                 + 2 * 2 * kt * B * H * itemsize  # h_prev + g (db)
+                 + 2 * kt * B * G * itemsize      # dpre out (db)
+                 + H * G * itemsize               # w (resident)
+                 + H * G * 4                      # dw accumulator (f32)
+                 + kt * B * G * 4                 # dpre_h stash (f32)
+                 + 2 * B * H * 4)                 # dh0 out + dh carry
+
+
+def _pick_bwd_blocks(L, T, B, H, G, itemsize):
+    """Joint (lb, kt) choice for the generic backward: kt as large as
+    possible first (accumulator-traffic cut), then the largest fitting
+    l-block."""
+    budget = 72 * 1024 * 1024
+    kt = _pick_t_block(T, lambda k: _bwd_need(1, k, B, H, G, itemsize)
+                       <= budget)
+    for lb in range(L, 0, -1):
+        if L % lb:
+            continue
+        if _bwd_need(lb, kt, B, H, G, itemsize) <= budget:
+            return lb, kt
+    return 1, kt
+
+
+def _bwd_kernel(precision, lb, kt, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
+                dpre_ref, dw_ref, db_ref, dh0_ref, dh_c, dph_c):
+    tb_rev = pl.program_id(1)
+    TB = pl.num_programs(1)
+
+    @pl.when(tb_rev == 0)
     def _():
         dh_c[:] = jnp.zeros_like(dh_c)
         dw_ref[:] = jnp.zeros_like(dw_ref[:])
         db_ref[:] = jnp.zeros_like(db_ref[:])
 
     for j in range(lb):                      # unrolled over the L-block
-        h_prev = hprev_ref[j, 0].astype(F32)
-        pre_x = pre_ref[j, 0].astype(F32)
         w = w_ref[j]
-        pre_h = jax.lax.dot_general(
-            h_prev, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=F32,
-            precision=precision) + b_ref[j].astype(F32)
-        r, z, n, _ = _gates_f32(pre_x, pre_h, h_prev)
-
-        H = h_prev.shape[-1]
-        hn_h = pre_h[:, 2 * H:]              # hidden-side n preactivation
-
-        dh_total = g_ref[j, 0].astype(F32) + dh_c[j]
-        dn = dh_total * (1.0 - z)
-        dz = dh_total * (h_prev - n)
-        dan = dn * (1.0 - n * n)
-        dr = dan * hn_h
-        dhn_h = dan * r
-        dar = dr * r * (1.0 - r)
-        daz = dz * z * (1.0 - z)
-
-        dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)   # (B, 3H)
-        dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
-
-        # dh_prev = z * dh_total + dpre_h @ w^T
-        dh_prev = dh_total * z + jax.lax.dot_general(
-            dpre_h, w, (((1,), (1,)), ((), ())), preferred_element_type=F32,
-            precision=precision)
-        dh_c[j] = dh_prev
-
-        dpre_ref[j, 0] = dpre_x.astype(dpre_ref.dtype)
-        # accumulate weight/bias grads in the VMEM-resident output blocks
-        dw_ref[j] += jax.lax.dot_general(
-            h_prev, dpre_h, (((0,), (0,)), ((), ())),
+        B, H = dh_c.shape[1], dh_c.shape[2]
+        G = w.shape[-1]
+        # batched recompute over the whole time block: one (kt*B,H)@(H,G)
+        h_prev_blk = hprev_ref[j].astype(F32)               # (kt, B, H)
+        pre_h_blk = (jax.lax.dot_general(
+            h_prev_blk.reshape(kt * B, H), w, (((1,), (0,)), ((), ())),
             preferred_element_type=F32, precision=precision)
-        db_ref[j] += jnp.sum(dpre_h, axis=0, keepdims=True)
+            + b_ref[j].astype(F32)).reshape(kt, B, G)
 
-        @pl.when(t_rev == T - 1)
-        def _():
-            dh0_ref[j] = dh_prev.astype(dh0_ref.dtype)
+        for s in range(kt - 1, -1, -1):      # sequential dh chain, reversed
+            h_prev = h_prev_blk[s]
+            pre_h = pre_h_blk[s]
+            r, z, n, _ = _gates_f32(pre_ref[j, s].astype(F32), pre_h, h_prev)
+            dh_total = g_ref[j, s].astype(F32) + dh_c[j]
+            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n, pre_h,
+                                              h_prev)
+            dh_c[j] = dhloc + jax.lax.dot_general(
+                dpre_h, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32, precision=precision)
+            dpre_ref[j, s] = dpre_x.astype(dpre_ref.dtype)
+            dph_c[j, s] = dpre_h             # stash for the batched dW
+            if s == 0:
+                @pl.when(tb_rev == TB - 1)
+                def _():
+                    dh0_ref[j] = dh_c[j].astype(dh0_ref.dtype)
+
+        # ONE accumulator update per block: rank-(kt*B) dW matmul + db sum
+        dph = dph_c[j].reshape(kt * B, G)
+        dw_ref[j] += jax.lax.dot_general(
+            h_prev_blk.reshape(kt * B, H), dph, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision)
+        db_ref[j] += jnp.sum(dph, axis=0, keepdims=True)
 
 
 def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
     L, T, B, G = pre.shape
     H = h_prev_seq.shape[-1]
-    rev = lambda l, t: (l, T - 1 - t, 0, 0)
-    lb = _pick_l_block(L, B, H, G, pre.dtype.itemsize, bwd=True)
+    lb, kt = _pick_bwd_blocks(L, T, B, H, G, pre.dtype.itemsize)
+    TB = T // kt
+    rev = lambda l, t: (l, TB - 1 - t, 0, 0)
     dpre, dw, db, dh0 = pl.pallas_call(
-        functools.partial(_bwd_kernel, precision, lb),
-        grid=(L // lb, T),
+        functools.partial(_bwd_kernel, precision, lb, kt),
+        grid=(L // lb, TB),
         in_specs=[
-            pl.BlockSpec((lb, 1, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb, 1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb, 1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((lb, 1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, G), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
@@ -239,7 +270,8 @@ def _bwd_pallas(pre, h_prev_seq, g_seq, w_hh, b_hh, precision=None):
             jax.ShapeDtypeStruct((L, 1, G), F32),
             jax.ShapeDtypeStruct((L, B, H), F32),
         ],
-        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32),
+                        pltpu.VMEM((lb, kt, B, G), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
@@ -398,13 +430,38 @@ def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
       b_hh[:, None, :], h0)
 
 
-def _bwd_embed_kernel(precision, lb, Vp, T,
-                      tok_ref, hseq_ref, h0_ref, g_ref, wih_ref, bih_ref,
-                      w_ref, b_ref,
-                      dwih_ref, dbih_ref, dw_ref, db_ref, dh0_ref, dh_c):
-    t_rev = pl.program_id(1)
+def _embed_bwd_need(lb, kt, B, H, G, Vp, itemsize):
+    return lb * ((Vp + H) * G * itemsize        # w_ih + w_hh (resident)
+                 + (Vp + H) * G * 4             # dwih + dwhh acc (f32)
+                 + 2 * 2 * kt * B * H * itemsize  # hcur + hprevb (db)
+                 + 2 * B * H * itemsize         # h0 + g (resident)
+                 + 2 * kt * B * G * 4           # dpre_x + dpre_h stash
+                 + kt * B * Vp * itemsize       # onehot block values
+                 + 2 * kt * B * G * 4           # pre_x/pre_h block values
+                 + 2 * B * H * 4)               # dh0 out + dh carry
 
-    @pl.when(t_rev == 0)
+
+def _pick_bwd_blocks_embed(L, T, B, H, G, Vp, itemsize):
+    budget = 72 * 1024 * 1024
+    kt = _pick_t_block(
+        T, lambda k: _embed_bwd_need(1, k, B, H, G, Vp, itemsize) <= budget)
+    for lb in range(L, 0, -1):
+        if L % lb:
+            continue
+        if _embed_bwd_need(lb, kt, B, H, G, Vp, itemsize) <= budget:
+            return lb, kt
+    return 1, kt
+
+
+def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
+                      h0_ref, g_ref, wih_ref, bih_ref, w_ref, b_ref,
+                      dwih_ref, dbih_ref, dw_ref, db_ref, dh0_ref,
+                      dh_c, dpx_c, dph_c):
+    tb_rev = pl.program_id(1)
+    TB = pl.num_programs(1)
+    first_blk = tb_rev == TB - 1              # block containing t = 0
+
+    @pl.when(tb_rev == 0)
     def _():
         dh_c[:] = jnp.zeros_like(dh_c)
         dwih_ref[:] = jnp.zeros_like(dwih_ref[:])
@@ -412,57 +469,60 @@ def _bwd_embed_kernel(precision, lb, Vp, T,
         dw_ref[:] = jnp.zeros_like(dw_ref[:])
         db_ref[:] = jnp.zeros_like(db_ref[:])
 
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=F32,
+                                   precision=precision)
+
     for j in range(lb):
-        # h_prev: h_seq[t-1] streamed via the shifted index map; h0 at t=0
-        h_prev = jnp.where(t_rev == T - 1,
-                           h0_ref[j].astype(F32),
-                           hseq_ref[j, 0].astype(F32))
-        pre_x, onehot = _embed_pre_x(tok_ref[j, 0, 0], wih_ref[j],
-                                     bih_ref[j], Vp, precision)
         w = w_ref[j]
-        pre_h = jax.lax.dot_general(
-            h_prev, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=F32, precision=precision
-        ) + b_ref[j].astype(F32)
-        r, z, n, _ = _gates_f32(pre_x, pre_h, h_prev)
+        B = dh_c.shape[1]
+        H = dh_c.shape[2]
+        G = w.shape[-1]
+        # batched recompute over the block: ONE embedding matmul for all kt
+        # steps' pre_x, ONE (kt*B,H)@(H,G) for all pre_h
+        tok = tok_ref[j, :, 0, :].reshape(kt * B)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kt * B, Vp), 1)
+        onehot = (col == tok[:, None]).astype(wih_ref.dtype)
+        pre_x_blk = (dot(onehot, wih_ref[j], ((1,), (0,)))
+                     + bih_ref[j].astype(F32)).reshape(kt, B, G)
+        hcur = hcur_ref[j].astype(F32)                     # h_seq[t0:t0+kt]
+        # h_prev for step s>0 is hcur[s-1]; for s==0 it's the previous
+        # block's last state (h0 at the very first block)
+        h_prev0 = jnp.where(first_blk, h0_ref[j].astype(F32),
+                            hprevb_ref[j, kt - 1].astype(F32))
+        h_prev_blk = jnp.concatenate([h_prev0[None], hcur[: kt - 1]], axis=0)
+        pre_h_blk = (dot(h_prev_blk.reshape(kt * B, H), w, ((1,), (0,)))
+                     + b_ref[j].astype(F32)).reshape(kt, B, G)
 
-        H = h_prev.shape[-1]
-        hn_h = pre_h[:, 2 * H:]
+        for s in range(kt - 1, -1, -1):       # sequential dh chain
+            h_prev = h_prev_blk[s]
+            pre_h = pre_h_blk[s]
+            r, z, n, _ = _gates_f32(pre_x_blk[s], pre_h, h_prev)
+            # encoder use case: cotangent only on the FINAL state (the last
+            # step overall = last s of grid step 0)
+            dh_total = dh_c[j]
+            if s == kt - 1:
+                dh_total = dh_total + jnp.where(
+                    tb_rev == 0, g_ref[j].astype(F32),
+                    jnp.zeros_like(dh_total))
+            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n, pre_h,
+                                              h_prev)
+            dh_c[j] = dhloc + dot(dpre_h, w, ((1,), (1,)))
+            dpx_c[j, s] = dpre_x
+            dph_c[j, s] = dpre_h
+            if s == 0:
+                @pl.when(first_blk)
+                def _():
+                    dh0_ref[j] = dh_c[j].astype(dh0_ref.dtype)
 
-        # encoder use case: cotangent only on the FINAL state — no
-        # (L,T,B,H) zero-padded stream exists in HBM
-        dh_total = dh_c[j] + jnp.where(
-            t_rev == 0, g_ref[j].astype(F32),
-            jnp.zeros_like(dh_c[j]))
-        dn = dh_total * (1.0 - z)
-        dz = dh_total * (h_prev - n)
-        dan = dn * (1.0 - n * n)
-        dr = dan * hn_h
-        dhn_h = dan * r
-        dar = dr * r * (1.0 - r)
-        daz = dz * z * (1.0 - z)
-
-        dpre_x = jnp.concatenate([dar, daz, dan], axis=-1)    # (B, 3H)
-        dpre_h = jnp.concatenate([dar, daz, dhn_h], axis=-1)
-
-        dh_prev = dh_total * z + jax.lax.dot_general(
-            dpre_h, w, (((1,), (1,)), ((), ())), preferred_element_type=F32,
-            precision=precision)
-        dh_c[j] = dh_prev
-
-        # input-side grads accumulate on-core: dW_ih += onehot^T @ dpre_x
-        dwih_ref[j] += jax.lax.dot_general(
-            onehot, dpre_x, (((0,), (0,)), ((), ())),
-            preferred_element_type=F32, precision=precision)
-        dbih_ref[j] += jnp.sum(dpre_x, axis=0, keepdims=True)
-        dw_ref[j] += jax.lax.dot_general(
-            h_prev, dpre_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=F32, precision=precision)
-        db_ref[j] += jnp.sum(dpre_h, axis=0, keepdims=True)
-
-        @pl.when(t_rev == T - 1)
-        def _():
-            dh0_ref[j] = dh_prev.astype(dh0_ref.dtype)
+        # ONE accumulator update per (layer, block): batched dW matmuls
+        dpx = dpx_c[j].reshape(kt * B, G)
+        dph = dph_c[j].reshape(kt * B, G)
+        dwih_ref[j] += dot(onehot, dpx, ((0,), (0,)))
+        dbih_ref[j] += jnp.sum(dpx, axis=0, keepdims=True)
+        dw_ref[j] += dot(h_prev_blk.reshape(kt * B, H), dph, ((0,), (0,)))
+        db_ref[j] += jnp.sum(dph, axis=0, keepdims=True)
 
 
 def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
@@ -473,19 +533,21 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
     H = h0.shape[-1]
     G = w_hh.shape[-1]
     Vp = w_ih.shape[1]
-    rev3 = lambda l, t: (l, T - 1 - t, 0, 0)
-    # h_prev stream: block t-1 of h_seq for step t = T-1-t_rev (clamped at
-    # the edge; the kernel substitutes h0 there)
-    prev4 = lambda l, t: (l, jnp.maximum(T - 2 - t, 0), 0, 0)
+    lb, kt = _pick_bwd_blocks_embed(L, T, B, H, G, Vp, w_ih.dtype.itemsize)
+    TB = T // kt
+    rev4 = lambda l, t: (l, TB - 1 - t, 0, 0)
+    # previous h_seq block (for the s=0 step's h_prev), clamped at the edge;
+    # the kernel substitutes h0 there
+    prevb = lambda l, t: (l, jnp.maximum(TB - 2 - t, 0), 0, 0)
     res = lambda l, t: (l, 0, 0)
-    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=True)
     g_spec = pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM)
     dwih, dbih, dw, db, dh0 = pl.pallas_call(
-        functools.partial(_bwd_embed_kernel, precision, lb, Vp, T),
-        grid=(L // lb, T),
+        functools.partial(_bwd_embed_kernel, precision, lb, kt, Vp),
+        grid=(L // lb, TB),
         in_specs=[
-            pl.BlockSpec((lb, 1, 1, B), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb, 1, B, H), prev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, 1, B), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), prevb, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
             g_spec,
             pl.BlockSpec((lb, Vp, G), res, memory_space=pltpu.VMEM),
@@ -507,12 +569,14 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
             jax.ShapeDtypeStruct((L, 1, G), F32),
             jax.ShapeDtypeStruct((L, B, H), F32),
         ],
-        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32),
+                        pltpu.VMEM((lb, kt, B, G), F32),
+                        pltpu.VMEM((lb, kt, B, G), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(tok_lt[:, :, None, :], h_seq, h0, g_fin, w_ih, b_ih[:, None, :], w_hh,
-      b_hh[:, None, :])
+    )(tok_lt[:, :, None, :], h_seq, h_seq, h0, g_fin, w_ih, b_ih[:, None, :],
+      w_hh, b_hh[:, None, :])
     return dwih, dbih[:, 0, :], dw, db[:, 0, :], dh0
 
 
@@ -725,17 +789,18 @@ def _gate_bwd(dh_total, r, z, n, pre_h, h_prev):
     return dpre_x, dpre_h, dh_total * z
 
 
-def _dec_bwd_kernel(precision, Vp, T,
-                    tok_ref, h1_ref, h1p_ref, h2p_ref, g2_ref,
+def _dec_bwd_kernel(precision, kt, Vp,
+                    tok_ref, h1_ref, h1p_ref, h2_ref, h2p_ref, g2_ref,
                     wtok_ref, prez_ref, whh1_ref, bhh1_ref,
                     wih2_ref, bih2_ref, whh2_ref, bhh2_ref, h10_ref,
                     dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
                     dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
-                    dh1_c, dh2_c):
-    tr = pl.program_id(0)                     # processing t = T-1-tr
-    first = tr == T - 1                       # i.e. t == 0
+                    dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c):
+    tb = pl.program_id(0)                     # reversed block index
+    TB = pl.num_programs(0)
+    first_blk = tb == TB - 1                  # block containing t = 0
 
-    @pl.when(tr == 0)
+    @pl.when(tb == 0)
     def _():
         dh1_c[:] = jnp.zeros_like(dh1_c)
         dh2_c[:] = jnp.zeros_like(dh2_c)
@@ -743,49 +808,84 @@ def _dec_bwd_kernel(precision, Vp, T,
                     dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref):
             ref[:] = jnp.zeros_like(ref[:])
 
-    h1 = h1_ref[0].astype(F32)
-    h1prev = jnp.where(first, h10_ref[:].astype(F32), h1p_ref[0].astype(F32))
-    h2prev = jnp.where(first, h1, h2p_ref[0].astype(F32))
-
     def dot(a, b, dims):
         return jax.lax.dot_general(a, b, (dims, ((), ())),
                                    preferred_element_type=F32,
                                    precision=precision)
 
-    # ---- layer 2 ----
-    pre2 = dot(h1, wih2_ref[:], ((1,), (0,))) + bih2_ref[:].astype(F32)
-    preh2 = dot(h2prev, whh2_ref[:], ((1,), (0,))) + bhh2_ref[:].astype(F32)
-    r2, z2, n2, _ = _gates_f32(pre2, preh2, h2prev)
-    dh2 = g2_ref[0].astype(F32) + dh2_c[:]
-    dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2, h2prev)
-    dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
-    dwih2_ref[:] += dot(h1, dpre2x, ((0,), (0,)))
-    dbih2_ref[:] += jnp.sum(dpre2x, axis=0, keepdims=True)
-    dwhh2_ref[:] += dot(h2prev, dpreh2, ((0,), (0,)))
-    dbhh2_ref[:] += jnp.sum(dpreh2, axis=0, keepdims=True)
+    B = dh1_c.shape[0]
+    H = dh1_c.shape[1]
+    G = whh1_ref.shape[-1]
+    h1cur = h1_ref[:].astype(F32)                          # (kt, B, H)
+    h2cur = h2_ref[:].astype(F32)
+    h1flat = h1cur.reshape(kt * B, H)
 
-    # dh1: from layer2's input projection, the t==0 h2_prev:=h1 quirk, and
-    # the carried recurrence cotangent
-    dh1 = (dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
-           + jnp.where(first, dh2prev, jnp.zeros_like(dh2prev)))
-    dh2_c[:] = jnp.where(first, jnp.zeros_like(dh2prev), dh2prev)
+    # ---- batched recomputes for both layers ----
+    tok = tok_ref[:, 0, :].reshape(kt * B)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (kt * B, Vp), 1)
+    onehot = (colv == tok[:, None]).astype(wtok_ref.dtype)
+    pre1_blk = (dot(onehot, wtok_ref[:], ((1,), (0,))).reshape(kt, B, G)
+                + prez_ref[:].astype(F32)[None])
+    h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
+                        h1p_ref[kt - 1].astype(F32))
+    h1prev_blk = jnp.concatenate([h1prev0[None], h1cur[: kt - 1]], axis=0)
+    preh1_blk = (dot(h1prev_blk.reshape(kt * B, H), whh1_ref[:],
+                     ((1,), (0,)))
+                 + bhh1_ref[:].astype(F32)).reshape(kt, B, G)
+    # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
+    # state (model_v2.py:130-132)
+    h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
+    h2prev_blk = jnp.concatenate([h2prev0[None], h2cur[: kt - 1]], axis=0)
+    pre2_blk = (dot(h1flat, wih2_ref[:], ((1,), (0,)))
+                + bih2_ref[:].astype(F32)).reshape(kt, B, G)
+    preh2_blk = (dot(h2prev_blk.reshape(kt * B, H), whh2_ref[:],
+                     ((1,), (0,)))
+                 + bhh2_ref[:].astype(F32)).reshape(kt, B, G)
 
-    # ---- layer 1 ----
-    pre1, onehot = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
-                                Vp, precision)
-    preh1 = dot(h1prev, whh1_ref[:], ((1,), (0,))) + bhh1_ref[:].astype(F32)
-    r1, z1, n1, _ = _gates_f32(pre1, preh1, h1prev)
-    dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1, h1prev)
-    dh1prev = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
-    dh1_c[:] = dh1prev
-    dwtok_ref[:] += dot(onehot, dpre1x, ((0,), (0,)))
-    dprez_ref[:] += dpre1x
-    dwhh1_ref[:] += dot(h1prev, dpreh1, ((0,), (0,)))
-    dbhh1_ref[:] += jnp.sum(dpreh1, axis=0, keepdims=True)
+    # ---- sequential dh chains over the block (reversed) ----
+    for s in range(kt - 1, -1, -1):
+        r2, z2, n2, _ = _gates_f32(pre2_blk[s], preh2_blk[s], h2prev_blk[s])
+        dh2 = g2_ref[s].astype(F32) + dh2_c[:]
+        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2_blk[s],
+                                           h2prev_blk[s])
+        dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
+        s2x_c[s] = dpre2x
+        s2h_c[s] = dpreh2
 
-    @pl.when(first)
-    def _():
-        dh10_ref[:] = dh1prev.astype(dh10_ref.dtype)
+        # dh1: from layer2's input projection, the t==0 quirk, and carry
+        dh1 = dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
+        if s == 0:
+            dh1 = dh1 + jnp.where(first_blk, dh2prev,
+                                  jnp.zeros_like(dh2prev))
+            dh2_c[:] = jnp.where(first_blk, jnp.zeros_like(dh2prev),
+                                 dh2prev)
+        else:
+            dh2_c[:] = dh2prev
+
+        r1, z1, n1, _ = _gates_f32(pre1_blk[s], preh1_blk[s], h1prev_blk[s])
+        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1_blk[s],
+                                           h1prev_blk[s])
+        dh1_c[:] = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
+        s1x_c[s] = dpre1x
+        s1h_c[s] = dpreh1
+        if s == 0:
+            @pl.when(first_blk)
+            def _():
+                dh10_ref[:] = dh1_c[:].astype(dh10_ref.dtype)
+
+    # ---- ONE accumulator update per block: batched dW matmuls ----
+    s1x = s1x_c[:].reshape(kt * B, G)
+    s1h = s1h_c[:].reshape(kt * B, G)
+    s2x = s2x_c[:].reshape(kt * B, G)
+    s2h = s2h_c[:].reshape(kt * B, G)
+    dwtok_ref[:] += dot(onehot, s1x, ((0,), (0,)))
+    dprez_ref[:] += jnp.sum(s1x_c[:], axis=0)
+    dwhh1_ref[:] += dot(h1prev_blk.reshape(kt * B, H), s1h, ((0,), (0,)))
+    dbhh1_ref[:] += jnp.sum(s1h, axis=0, keepdims=True)
+    dwih2_ref[:] += dot(h1flat, s2x, ((0,), (0,)))
+    dbih2_ref[:] += jnp.sum(s2x, axis=0, keepdims=True)
+    dwhh2_ref[:] += dot(h2prev_blk.reshape(kt * B, H), s2h, ((0,), (0,)))
+    dbhh2_ref[:] += jnp.sum(s2h, axis=0, keepdims=True)
 
 
 def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
@@ -795,19 +895,22 @@ def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     Vp = w_tok.shape[0]
-    rev_tok = lambda t: (T - 1 - t, 0, 0)
-    rev = lambda t: (T - 1 - t, 0, 0)
-    prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    kt = _pick_dec_t_block(T, B, H, G, Vp, w_tok.dtype.itemsize)
+    TB = T // kt
+    rev_tok = lambda t: (TB - 1 - t, 0, 0)
+    rev = lambda t: (TB - 1 - t, 0, 0)
+    prev = lambda t: (jnp.maximum(TB - 2 - t, 0), 0, 0)
     res = lambda t: (0, 0)
     outs = pl.pallas_call(
-        functools.partial(_dec_bwd_kernel, precision, Vp, T),
-        grid=(T,),
+        functools.partial(_dec_bwd_kernel, precision, kt, Vp),
+        grid=(TB,),
         in_specs=[
-            pl.BlockSpec((1, 1, B), rev_tok, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, B), rev_tok, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
@@ -840,11 +943,15 @@ def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
             jax.ShapeDtypeStruct((1, G), F32),
             jax.ShapeDtypeStruct((B, H), F32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
+        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32),
+                        pltpu.VMEM((kt, B, G), F32),
+                        pltpu.VMEM((kt, B, G), F32),
+                        pltpu.VMEM((kt, B, G), F32),
+                        pltpu.VMEM((kt, B, G), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(tok_t[:, None, :], h1_seq, h1_seq, h2_seq, g2_seq,
+    )(tok_t[:, None, :], h1_seq, h1_seq, h2_seq, h2_seq, g2_seq,
       w_tok, pre_z, whh1, bhh1[None], wih2, bih2[None], whh2, bhh2[None],
       h1_0)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = outs
@@ -990,7 +1097,23 @@ def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
       wih2, bih2[None], whh2, bhh2[None], h1_0, w_out, b_out[None])
 
 
-def _dec_bwd_ce_kernel(precision, Vp, T,
+def _dec_bwd_need(kt, B, H, G, Vp, itemsize):
+    wacc = (Vp * G + 3 * H * G + H * Vp + B * G) * (itemsize + 4)
+    return (wacc                                   # weights + f32 accs
+            + 2 * 4 * kt * B * H * itemsize        # h1/h2 cur+prev (db)
+            + 4 * kt * B * G * 4                   # dpre stashes (f32)
+            + 4 * kt * B * G * 4                   # pre block values
+            + 3 * kt * B * Vp * 4                  # logits/dlogits/onehot
+            + 4 * B * H * 4)                       # carries + dh10
+
+
+def _pick_dec_t_block(T, B, H, G, Vp, itemsize):
+    budget = 72 * 1024 * 1024
+    return _pick_t_block(
+        T, lambda k: _dec_bwd_need(k, B, H, G, Vp, itemsize) <= budget)
+
+
+def _dec_bwd_ce_kernel(precision, kt, Vp,
                        tok_ref, tgt_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
                        gce_ref,
                        wtok_ref, prez_ref, whh1_ref, bhh1_ref,
@@ -999,11 +1122,12 @@ def _dec_bwd_ce_kernel(precision, Vp, T,
                        dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
                        dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
                        dwout_ref, dbout_ref,
-                       dh1_c, dh2_c):
-    tr = pl.program_id(0)                     # processing t = T-1-tr
-    first = tr == T - 1
+                       dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c):
+    tb = pl.program_id(0)                     # reversed block index
+    TB = pl.num_programs(0)
+    first_blk = tb == TB - 1                  # block containing t = 0
 
-    @pl.when(tr == 0)
+    @pl.when(tb == 0)
     def _():
         dh1_c[:] = jnp.zeros_like(dh1_c)
         dh2_c[:] = jnp.zeros_like(dh2_c)
@@ -1012,57 +1136,96 @@ def _dec_bwd_ce_kernel(precision, Vp, T,
                     dwout_ref, dbout_ref):
             ref[:] = jnp.zeros_like(ref[:])
 
-    h1 = h1_ref[0].astype(F32)
-    h2n = h2_ref[0].astype(F32)
-    h1prev = jnp.where(first, h10_ref[:].astype(F32), h1p_ref[0].astype(F32))
-    h2prev = jnp.where(first, h1, h2p_ref[0].astype(F32))
-
     def dot(a, b, dims):
         return jax.lax.dot_general(a, b, (dims, ((), ())),
                                    preferred_element_type=F32,
                                    precision=precision)
 
-    # ---- CE head ----
-    _, logits, lse, tgt_oh = _ce_from_h2(h2n, tgt_ref[0, 0], wout_ref,
-                                         bout_ref, Vp, precision)
-    g_ce = gce_ref[0, 0].astype(F32)[:, None]              # (B, 1)
-    dlogits = (jnp.exp(logits - lse)
-               - tgt_oh.astype(F32)) * g_ce                 # (B, Vp)
-    dwout_ref[:] += dot(h2n, dlogits, ((0,), (0,)))
+    B = dh1_c.shape[0]
+    H = dh1_c.shape[1]
+    G = whh1_ref.shape[-1]
+    h1cur = h1_ref[:].astype(F32)                          # (kt, B, H)
+    h2cur = h2_ref[:].astype(F32)
+    h1flat = h1cur.reshape(kt * B, H)
+    h2flat = h2cur.reshape(kt * B, H)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (kt * B, Vp), 1)
+
+    # ---- CE head: independent of the dh chains, fully batched ----
+    tgt = tgt_ref[:, 0, :].reshape(kt * B)
+    logits = dot(h2flat, wout_ref[:], ((1,), (0,))) + bout_ref[:].astype(F32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    tgt_oh = colv == tgt[:, None]
+    g_ce = gce_ref[:, 0, :].reshape(kt * B).astype(F32)[:, None]
+    dlogits = (jnp.exp(logits - lse) - tgt_oh.astype(F32)) * g_ce
+    dwout_ref[:] += dot(h2flat, dlogits, ((0,), (0,)))
     dbout_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
-    dh2 = dh2_c[:] + dot(dlogits, wout_ref[:], ((1,), (1,)))
+    dh2ce = dot(dlogits, wout_ref[:], ((1,), (1,))).reshape(kt, B, H)
 
-    # ---- layer 2 ----
-    pre2 = dot(h1, wih2_ref[:], ((1,), (0,))) + bih2_ref[:].astype(F32)
-    preh2 = dot(h2prev, whh2_ref[:], ((1,), (0,))) + bhh2_ref[:].astype(F32)
-    r2, z2, n2, _ = _gates_f32(pre2, preh2, h2prev)
-    dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2, h2prev)
-    dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
-    dwih2_ref[:] += dot(h1, dpre2x, ((0,), (0,)))
-    dbih2_ref[:] += jnp.sum(dpre2x, axis=0, keepdims=True)
-    dwhh2_ref[:] += dot(h2prev, dpreh2, ((0,), (0,)))
-    dbhh2_ref[:] += jnp.sum(dpreh2, axis=0, keepdims=True)
+    # ---- batched recomputes for both layers ----
+    tok = tok_ref[:, 0, :].reshape(kt * B)
+    onehot = (colv == tok[:, None]).astype(wtok_ref.dtype)
+    pre1_blk = (dot(onehot, wtok_ref[:], ((1,), (0,))).reshape(kt, B, G)
+                + prez_ref[:].astype(F32)[None])
+    h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
+                        h1p_ref[kt - 1].astype(F32))
+    h1prev_blk = jnp.concatenate([h1prev0[None], h1cur[: kt - 1]], axis=0)
+    preh1_blk = (dot(h1prev_blk.reshape(kt * B, H), whh1_ref[:],
+                     ((1,), (0,)))
+                 + bhh1_ref[:].astype(F32)).reshape(kt, B, G)
+    # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
+    # state (model_v2.py:130-132)
+    h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
+    h2prev_blk = jnp.concatenate([h2prev0[None], h2cur[: kt - 1]], axis=0)
+    pre2_blk = (dot(h1flat, wih2_ref[:], ((1,), (0,)))
+                + bih2_ref[:].astype(F32)).reshape(kt, B, G)
+    preh2_blk = (dot(h2prev_blk.reshape(kt * B, H), whh2_ref[:],
+                     ((1,), (0,)))
+                 + bhh2_ref[:].astype(F32)).reshape(kt, B, G)
 
-    dh1 = (dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
-           + jnp.where(first, dh2prev, jnp.zeros_like(dh2prev)))
-    dh2_c[:] = jnp.where(first, jnp.zeros_like(dh2prev), dh2prev)
+    # ---- sequential dh chains over the block (reversed) ----
+    for s in range(kt - 1, -1, -1):
+        r2, z2, n2, _ = _gates_f32(pre2_blk[s], preh2_blk[s], h2prev_blk[s])
+        dh2 = dh2ce[s] + dh2_c[:]
+        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2_blk[s],
+                                           h2prev_blk[s])
+        dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
+        s2x_c[s] = dpre2x
+        s2h_c[s] = dpreh2
 
-    # ---- layer 1 ----
-    pre1, onehot = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
-                                Vp, precision)
-    preh1 = dot(h1prev, whh1_ref[:], ((1,), (0,))) + bhh1_ref[:].astype(F32)
-    r1, z1, n1, _ = _gates_f32(pre1, preh1, h1prev)
-    dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1, h1prev)
-    dh1prev = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
-    dh1_c[:] = dh1prev
-    dwtok_ref[:] += dot(onehot, dpre1x, ((0,), (0,)))
-    dprez_ref[:] += dpre1x
-    dwhh1_ref[:] += dot(h1prev, dpreh1, ((0,), (0,)))
-    dbhh1_ref[:] += jnp.sum(dpreh1, axis=0, keepdims=True)
+        dh1 = dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
+        if s == 0:
+            dh1 = dh1 + jnp.where(first_blk, dh2prev,
+                                  jnp.zeros_like(dh2prev))
+            dh2_c[:] = jnp.where(first_blk, jnp.zeros_like(dh2prev),
+                                 dh2prev)
+        else:
+            dh2_c[:] = dh2prev
 
-    @pl.when(first)
-    def _():
-        dh10_ref[:] = dh1prev.astype(dh10_ref.dtype)
+        r1, z1, n1, _ = _gates_f32(pre1_blk[s], preh1_blk[s], h1prev_blk[s])
+        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1_blk[s],
+                                           h1prev_blk[s])
+        dh1_c[:] = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
+        s1x_c[s] = dpre1x
+        s1h_c[s] = dpreh1
+        if s == 0:
+            @pl.when(first_blk)
+            def _():
+                dh10_ref[:] = dh1_c[:].astype(dh10_ref.dtype)
+
+    # ---- ONE accumulator update per block: batched dW matmuls ----
+    s1x = s1x_c[:].reshape(kt * B, G)
+    s1h = s1h_c[:].reshape(kt * B, G)
+    s2x = s2x_c[:].reshape(kt * B, G)
+    s2h = s2h_c[:].reshape(kt * B, G)
+    dwtok_ref[:] += dot(onehot, s1x, ((0,), (0,)))
+    dprez_ref[:] += jnp.sum(s1x_c[:], axis=0)
+    dwhh1_ref[:] += dot(h1prev_blk.reshape(kt * B, H), s1h, ((0,), (0,)))
+    dbhh1_ref[:] += jnp.sum(s1h, axis=0, keepdims=True)
+    dwih2_ref[:] += dot(h1flat, s2x, ((0,), (0,)))
+    dbih2_ref[:] += jnp.sum(s2x, axis=0, keepdims=True)
+    dwhh2_ref[:] += dot(h2prev_blk.reshape(kt * B, H), s2h, ((0,), (0,)))
+    dbhh2_ref[:] += jnp.sum(s2h, axis=0, keepdims=True)
 
 
 def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
@@ -1072,20 +1235,22 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     Vp = w_tok.shape[0]
-    rev3 = lambda t: (T - 1 - t, 0, 0)
-    prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    kt = _pick_dec_t_block(T, B, H, G, Vp, w_tok.dtype.itemsize)
+    TB = T // kt
+    rev3 = lambda t: (TB - 1 - t, 0, 0)
+    prev = lambda t: (jnp.maximum(TB - 2 - t, 0), 0, 0)
     res = lambda t: (0, 0)
     outs = pl.pallas_call(
-        functools.partial(_dec_bwd_ce_kernel, precision, Vp, T),
-        grid=(T,),
+        functools.partial(_dec_bwd_ce_kernel, precision, kt, Vp),
+        grid=(TB,),
         in_specs=[
-            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
@@ -1124,7 +1289,11 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
             jax.ShapeDtypeStruct((H, Vp), F32),
             jax.ShapeDtypeStruct((1, Vp), F32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
+        scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32),
+                        pltpu.VMEM((kt, B, G), F32),
+                        pltpu.VMEM((kt, B, G), F32),
+                        pltpu.VMEM((kt, B, G), F32),
+                        pltpu.VMEM((kt, B, G), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,

@@ -74,6 +74,27 @@ def test_gradients_final_state_only():
         np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-3)
 
 
+def test_time_blocked_backward_multi_block():
+    """T=20 picks a kt>1 time block (kt=10, 2 grid blocks): the batched
+    dW/db accumulation and cross-block dh carry must match the scan."""
+    lb, kt = pallas_gru._pick_bwd_blocks(2, 20, 4, 8, 24, 4)
+    assert kt > 1
+    pre, w, b, h0 = _case(L=2, T=20, B=4, H=8, seed=5)
+
+    def loss(impl):
+        def f(pre, w, b, h0):
+            outs, hf = impl(pre, w, b, h0)
+            return jnp.sum(outs * jnp.cos(outs)) + 2.0 * jnp.sum(hf ** 2)
+        return f
+
+    g_ref = jax.grad(loss(stacked_gru_scan), argnums=(0, 1, 2, 3))(
+        pre, w, b, h0)
+    g_pal = jax.grad(loss(pallas_gru.stacked_gru_scan_pallas),
+                     argnums=(0, 1, 2, 3))(pre, w, b, h0)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-3)
+
+
 def test_bf16_forward():
     pre, w, b, h0 = _case(dtype=jnp.bfloat16)
     outs_ref, _ = stacked_gru_scan(pre.astype(jnp.float32),
@@ -419,6 +440,7 @@ def test_fused_ce_loss_and_grads_match(monkeypatch):
     (1, 7, 3, 8, 11),     # single layer
     (6, 3, 2, 8, 7),      # L with several divisors, short T
     (2, 5, 8, 16, 130),   # V > 128 (pads to 256)
+    (2, 20, 4, 8, 11),    # T=20: kt>1 time-blocked backward, 2 grid blocks
 ])
 def test_embed_edge_shapes(L, T, B, H, V):
     from music_fader_nets_tpu.ops.gru import multi_gru_final_states
