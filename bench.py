@@ -106,7 +106,10 @@ def main():
     ap.add_argument("--seq-len", type=int, default=100)
     ap.add_argument("--attr-len", type=int, default=16)
     ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--dtype", default="float32")
+    # bf16 mixed precision (f32 master weights / f32 losses) is the fastest
+    # validated training mode — the headline config; --dtype float32 for the
+    # parity-comparable number (see README perf table for both)
+    ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-long", action="store_true",
@@ -124,6 +127,7 @@ def main():
         "value": round(seqs_per_sec, 1),
         "unit": "seq/s",
         "vs_baseline": round(seqs_per_sec / baseline, 2) if baseline else None,
+        "dtype": args.dtype,
         # best/median/worst of the 3 timing windows: makes perf-delta claims
         # falsifiable against the measured noise floor
         "step_ms_best": round(min(windows) * 1e3, 3),

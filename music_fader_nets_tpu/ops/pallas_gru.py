@@ -153,14 +153,17 @@ def _fwd_pallas(pre, w_hh, b_hh, h0, precision=None):
 # ---------------------------------------------------------------------------
 
 
-def _pick_t_block(T: int, fits) -> int:
-    """Largest time-block size kt (a divisor of T, capped at 10) whose VMEM
-    need passes `fits(kt)`. Time-blocking batches the dW/db accumulation:
-    ONE rank-(kt*B) matmul + ONE accumulator read-modify-write per block
-    instead of kt rank-B matmuls + kt RMWs of the (H,G) f32 accumulator —
-    the dominant VMEM traffic of the backward pass at bench shapes."""
-    for kt in (10, 8, 5, 4, 2, 1):
-        if T % kt == 0 and fits(kt):
+def _pick_t_block(T: int, fits, prefs=(2, 1)) -> int:
+    """Time-block size kt (a divisor of T) whose VMEM need passes
+    `fits(kt)`, tried in measured preference order. Time-blocking batches
+    the dW/db accumulation: ONE rank-(kt*B) matmul + ONE accumulator
+    read-modify-write per block instead of kt rank-B matmuls + kt RMWs of
+    the f32 accumulators. The chip sweep (benchmarks/kt_sweep.py, v5e,
+    B=128 T=100 H=512) shows small kt wins and large kt LOSES (block
+    granularity starves the grid pipeline): generic 2>1>4>5>10, embed
+    4>1>2>5=10, CE decoder 2>>5>10>4>1 (kt=2 is -16% vs per-step there)."""
+    for kt in prefs:
+        if kt <= T and T % kt == 0 and fits(kt):
             return kt
     return 1
 
@@ -356,6 +359,23 @@ def _pick_l_block_embed(L, B, H, G, Vp, itemsize, bwd):
     return 1
 
 
+def _rows_onehot(tok_2d, kt, B, Vp, dtype=None):
+    """(kt, B) int tokens -> (kt*B, Vp) one-hot rows, built as kt stacked
+    (B, Vp) iota-compares. NB a direct (kt,1,B)->(kt*B,) reshape of the
+    token vector moves lane data into sublanes, which Mosaic cannot
+    shape-cast; per-step compares + sublane concat avoid it."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    rows = [col == tok_2d[s][:, None] for s in range(kt)]
+    oh = rows[0] if kt == 1 else jnp.concatenate(rows, axis=0)
+    return oh if dtype is None else oh.astype(dtype)
+
+
+def _rows_col(x_2d, kt):
+    """(kt, B) -> (kt*B, 1) column, same lane-safe construction."""
+    cols = [x_2d[s][:, None] for s in range(kt)]
+    return cols[0] if kt == 1 else jnp.concatenate(cols, axis=0)
+
+
 def _embed_pre_x(tok, w_ih, b_ih, Vp, precision):
     """(B,) int32 tokens -> (B, 3H) f32 input projection, on the MXU via an
     iota-compare one-hot (tokens are < V <= Vp, pad rows never selected)."""
@@ -444,7 +464,8 @@ def _embed_bwd_need(lb, kt, B, H, G, Vp, itemsize):
 def _pick_bwd_blocks_embed(L, T, B, H, G, Vp, itemsize):
     budget = 72 * 1024 * 1024
     kt = _pick_t_block(
-        T, lambda k: _embed_bwd_need(1, k, B, H, G, Vp, itemsize) <= budget)
+        T, lambda k: _embed_bwd_need(1, k, B, H, G, Vp, itemsize) <= budget,
+        prefs=(4, 1))
     for lb in range(L, 0, -1):
         if L % lb:
             continue
@@ -481,9 +502,8 @@ def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
         G = w.shape[-1]
         # batched recompute over the block: ONE embedding matmul for all kt
         # steps' pre_x, ONE (kt*B,H)@(H,G) for all pre_h
-        tok = tok_ref[j, :, 0, :].reshape(kt * B)
-        col = jax.lax.broadcasted_iota(jnp.int32, (kt * B, Vp), 1)
-        onehot = (col == tok[:, None]).astype(wih_ref.dtype)
+        onehot = _rows_onehot(tok_ref[j, :, 0, :], kt, B, Vp,
+                              wih_ref.dtype)
         pre_x_blk = (dot(onehot, wih_ref[j], ((1,), (0,)))
                      + bih_ref[j].astype(F32)).reshape(kt, B, G)
         hcur = hcur_ref[j].astype(F32)                     # h_seq[t0:t0+kt]
@@ -491,7 +511,8 @@ def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
         # block's last state (h0 at the very first block)
         h_prev0 = jnp.where(first_blk, h0_ref[j].astype(F32),
                             hprevb_ref[j, kt - 1].astype(F32))
-        h_prev_blk = jnp.concatenate([h_prev0[None], hcur[: kt - 1]], axis=0)
+        h_prev_blk = (h_prev0[None] if kt == 1 else jnp.concatenate(
+            [h_prev0[None], hcur[: kt - 1]], axis=0))
         pre_h_blk = (dot(h_prev_blk.reshape(kt * B, H), w, ((1,), (0,)))
                      + b_ref[j].astype(F32)).reshape(kt, B, G)
 
@@ -821,21 +842,21 @@ def _dec_bwd_kernel(precision, kt, Vp,
     h1flat = h1cur.reshape(kt * B, H)
 
     # ---- batched recomputes for both layers ----
-    tok = tok_ref[:, 0, :].reshape(kt * B)
-    colv = jax.lax.broadcasted_iota(jnp.int32, (kt * B, Vp), 1)
-    onehot = (colv == tok[:, None]).astype(wtok_ref.dtype)
+    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, wtok_ref.dtype)
     pre1_blk = (dot(onehot, wtok_ref[:], ((1,), (0,))).reshape(kt, B, G)
                 + prez_ref[:].astype(F32)[None])
     h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
                         h1p_ref[kt - 1].astype(F32))
-    h1prev_blk = jnp.concatenate([h1prev0[None], h1cur[: kt - 1]], axis=0)
+    h1prev_blk = (h1prev0[None] if kt == 1 else jnp.concatenate(
+        [h1prev0[None], h1cur[: kt - 1]], axis=0))
     preh1_blk = (dot(h1prev_blk.reshape(kt * B, H), whh1_ref[:],
                      ((1,), (0,)))
                  + bhh1_ref[:].astype(F32)).reshape(kt, B, G)
     # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
     # state (model_v2.py:130-132)
     h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
-    h2prev_blk = jnp.concatenate([h2prev0[None], h2cur[: kt - 1]], axis=0)
+    h2prev_blk = (h2prev0[None] if kt == 1 else jnp.concatenate(
+        [h2prev0[None], h2cur[: kt - 1]], axis=0))
     pre2_blk = (dot(h1flat, wih2_ref[:], ((1,), (0,)))
                 + bih2_ref[:].astype(F32)).reshape(kt, B, G)
     preh2_blk = (dot(h2prev_blk.reshape(kt * B, H), whh2_ref[:],
@@ -1110,7 +1131,8 @@ def _dec_bwd_need(kt, B, H, G, Vp, itemsize):
 def _pick_dec_t_block(T, B, H, G, Vp, itemsize):
     budget = 72 * 1024 * 1024
     return _pick_t_block(
-        T, lambda k: _dec_bwd_need(k, B, H, G, Vp, itemsize) <= budget)
+        T, lambda k: _dec_bwd_need(k, B, H, G, Vp, itemsize) <= budget,
+        prefs=(2, 5, 4, 1))
 
 
 def _dec_bwd_ce_kernel(precision, kt, Vp,
@@ -1148,35 +1170,34 @@ def _dec_bwd_ce_kernel(precision, kt, Vp,
     h2cur = h2_ref[:].astype(F32)
     h1flat = h1cur.reshape(kt * B, H)
     h2flat = h2cur.reshape(kt * B, H)
-    colv = jax.lax.broadcasted_iota(jnp.int32, (kt * B, Vp), 1)
 
     # ---- CE head: independent of the dh chains, fully batched ----
-    tgt = tgt_ref[:, 0, :].reshape(kt * B)
     logits = dot(h2flat, wout_ref[:], ((1,), (0,))) + bout_ref[:].astype(F32)
     m = jnp.max(logits, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-    tgt_oh = colv == tgt[:, None]
-    g_ce = gce_ref[:, 0, :].reshape(kt * B).astype(F32)[:, None]
+    tgt_oh = _rows_onehot(tgt_ref[:, 0, :], kt, B, Vp)
+    g_ce = _rows_col(gce_ref[:, 0, :].astype(F32), kt)
     dlogits = (jnp.exp(logits - lse) - tgt_oh.astype(F32)) * g_ce
     dwout_ref[:] += dot(h2flat, dlogits, ((0,), (0,)))
     dbout_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
     dh2ce = dot(dlogits, wout_ref[:], ((1,), (1,))).reshape(kt, B, H)
 
     # ---- batched recomputes for both layers ----
-    tok = tok_ref[:, 0, :].reshape(kt * B)
-    onehot = (colv == tok[:, None]).astype(wtok_ref.dtype)
+    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, wtok_ref.dtype)
     pre1_blk = (dot(onehot, wtok_ref[:], ((1,), (0,))).reshape(kt, B, G)
                 + prez_ref[:].astype(F32)[None])
     h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
                         h1p_ref[kt - 1].astype(F32))
-    h1prev_blk = jnp.concatenate([h1prev0[None], h1cur[: kt - 1]], axis=0)
+    h1prev_blk = (h1prev0[None] if kt == 1 else jnp.concatenate(
+        [h1prev0[None], h1cur[: kt - 1]], axis=0))
     preh1_blk = (dot(h1prev_blk.reshape(kt * B, H), whh1_ref[:],
                      ((1,), (0,)))
                  + bhh1_ref[:].astype(F32)).reshape(kt, B, G)
     # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
     # state (model_v2.py:130-132)
     h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
-    h2prev_blk = jnp.concatenate([h2prev0[None], h2cur[: kt - 1]], axis=0)
+    h2prev_blk = (h2prev0[None] if kt == 1 else jnp.concatenate(
+        [h2prev0[None], h2cur[: kt - 1]], axis=0))
     pre2_blk = (dot(h1flat, wih2_ref[:], ((1,), (0,)))
                 + bih2_ref[:].astype(F32)).reshape(kt, B, G)
     preh2_blk = (dot(h2prev_blk.reshape(kt * B, H), whh2_ref[:],
