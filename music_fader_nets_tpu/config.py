@@ -72,6 +72,14 @@ class ModelConfig:
     # every sample (reference trainer_glsr.py:154 `played_notes[0][i]`).
     faithful_glsr_batch0: bool = True
 
+    # --- TPU-repo training extensions (not in the reference) ---
+    # kl_warmup_steps > 0 replaces the reference anneal with a plain linear
+    # 0 -> beta warmup over that many steps. Rationale: the reference
+    # schedule (even quirk-fixed) stays at beta=0 until step 10000, so short
+    # runs (the synthetic demo trains ~1600 steps) apply NO KL at all —
+    # this knob lets the demo actually exercise KL pressure.
+    kl_warmup_steps: int = 0
+
     @property
     def ce_x_weight(self) -> float:
         """Reconstruction CE weight on the token stream (reference trainer.py:105)."""

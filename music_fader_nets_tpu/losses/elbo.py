@@ -8,13 +8,21 @@ import jax
 import jax.numpy as jnp
 
 
-def anneal_beta(step: jax.Array, beta: float, faithful: bool = True) -> jax.Array:
+def anneal_beta(step: jax.Array, beta: float, faithful: bool = True,
+                warmup_steps: int = 0) -> jax.Array:
     """KL annealing schedule (reference trainer.py:93-96).
 
     faithful=True replicates the reference exactly, INCLUDING the quirk that
     `min((step - 10000) / 10000 * beta, beta)` is *negative* for steps in
     (1000, 10000) (SURVEY.md §2.4). faithful=False clamps at zero.
+
+    warmup_steps > 0 (a repo extension, ModelConfig.kl_warmup_steps)
+    replaces the schedule with a plain linear 0 -> beta warmup — the
+    reference schedule stays at 0 until step 10000, which means short runs
+    never apply KL at all.
     """
+    if warmup_steps > 0:
+        return beta * jnp.clip(step / float(warmup_steps), 0.0, 1.0)
     ramp = jnp.minimum((step - 10000.0) / 10000.0 * beta, beta)
     if not faithful:
         ramp = jnp.maximum(ramp, 0.0)

@@ -87,6 +87,11 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                          "var is ignored by the TPU plugin here; this flag "
                          "uses jax.config before backend init)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--kl-warmup", type=int, default=None,
+                    help="replace the reference KL anneal with a linear "
+                         "0->beta warmup over N steps (the reference "
+                         "schedule applies NO KL before step 10000, so "
+                         "short runs train with beta=0 throughout)")
     ap.add_argument("--fixed-quirks", action="store_true",
                     help="disable faithful replication of reference quirks "
                          "(negative-beta window, time-axis sub-decoder "
@@ -128,6 +133,8 @@ def config_from_args(kind: str, args) -> ModelConfig:
         overrides.update(faithful_negative_beta=False,
                          faithful_subdecoder_softmax_axis=False,
                          faithful_glsr_batch0=False)
+    if getattr(args, "kl_warmup", None) is not None:
+        overrides["kl_warmup_steps"] = args.kl_warmup
     cfg = load_config(path, **overrides)
     return cfg
 

@@ -95,7 +95,8 @@ def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
            + kl_std_normal(fwd["mu_n"], fwd["std_n"]))
-    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
+                         cfg.kl_warmup_steps)
     l_r = pati_regularizer(fwd["z_r"][:, 0], batch["r_density"])
     l_n = pati_regularizer(fwd["z_n"][:, 0], batch["n_density"])
     loss = ce + beta0 * kld + l_r + l_n
@@ -119,7 +120,8 @@ def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
-    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
+                         cfg.kl_warmup_steps)
 
     if not is_supervised:
         kld_lat_r, kld_cls_r = gmm_unsupervised_kl(
@@ -172,7 +174,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
            + kl_std_normal(fwd["mu_n"], fwd["std_n"]))
-    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
+                         cfg.kl_warmup_steps)
 
     steps = min(cfg.eval_decode_steps, x_oh.shape[1])
     gview = _global_view(params)
@@ -212,7 +215,8 @@ def cvae_loss(params, rng, batch, step, cfg: ModelConfig,
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = _ce_x(fwd, batch)
     kld = kl_std_normal(fwd["mu"], fwd["std"])
-    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
+                         cfg.kl_warmup_steps)
     loss = ce_x + beta0 * kld
     return loss, {"loss": loss, "CE_X": ce_x, "KLD": kld}
 
@@ -234,7 +238,8 @@ def fader_loss(params, rng, batch, step, cfg: ModelConfig,
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = _ce_x(fwd, batch)
     kld = kl_std_normal(fwd["mu"], fwd["std"])
-    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta)
+    beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
+                         cfg.kl_warmup_steps)
     l_adv_r = adversarial_fader_loss(step, fwd["disc_r"],
                                      rd.astype(jnp.float32))
     l_adv_n = adversarial_fader_loss(step, fwd["disc_n"],

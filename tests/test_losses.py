@@ -54,6 +54,19 @@ def test_anneal_beta_negative_window_quirk():
     assert float(anneal_beta(jnp.asarray(5000), beta, faithful=False)) == 0.0
 
 
+def test_anneal_beta_linear_warmup():
+    """kl_warmup_steps replaces the schedule with linear 0 -> beta."""
+    beta = 0.2
+    np.testing.assert_allclose(
+        float(anneal_beta(jnp.asarray(0), beta, warmup_steps=800)), 0.0)
+    np.testing.assert_allclose(
+        float(anneal_beta(jnp.asarray(400), beta, warmup_steps=800)),
+        0.1, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(anneal_beta(jnp.asarray(5000), beta, warmup_steps=800)),
+        beta, rtol=1e-6)
+
+
 def test_pati_regularizer_matches_reference_formula():
     """reference trainer.py:117-132 via numpy np.subtract.outer."""
     rng = np.random.default_rng(0)
