@@ -102,4 +102,5 @@ def test_eval_cli_end_to_end(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Consistency:" in out.stdout
     assert "Monotonicity:" in out.stdout
-    assert "latent stats:" in out.stdout
+    assert "latent stats (train):" in out.stdout
+    assert "latent stats (test):" in out.stdout
