@@ -75,7 +75,7 @@ def test_gradients_final_state_only():
 
 
 def test_time_blocked_backward_multi_block():
-    """T=20 picks a kt>1 time block (kt=10, 2 grid blocks): the batched
+    """T=20 picks a kt>1 time block (kt=2, 10 grid blocks): the batched
     dW/db accumulation and cross-block dh carry must match the scan."""
     lb, kt = pallas_gru._pick_bwd_blocks(2, 20, 4, 8, 24, 4)
     assert kt > 1
