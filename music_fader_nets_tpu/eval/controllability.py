@@ -231,7 +231,11 @@ class ControllabilityEvaluator:
 
     # -- device decode, chunked ---------------------------------------------
 
-    _CHUNK = 64        # Pallas kernel batch cap; fixed shape = one compile
+    # Pallas kernel batch cap; fixed shape = one compile. Measured winner
+    # for a 160-row eval wave (benchmarks/decode_crossover.py, v5e): 3x64
+    # chunked kernel calls 2.48 ms vs one 160-row scan 2.97 ms vs one
+    # 160-row kernel call 2.87 ms.
+    _CHUNK = 64
 
     def _decode_all(self, z_full) -> np.ndarray:
         """(M, z_total) -> (M, steps) int tokens, decoded in fixed-size

@@ -175,10 +175,13 @@ def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     cached process-wide — callers must NOT wrap this in another jax.jit
     (nesting would defeat the cache and recompile per wrapper)."""
     # the kernel wins when the per-step weight traffic dominates (small B:
-    # 2.4x at B=1-8, the transfer path); by B~160 the scan's per-step
-    # matmuls amortize the same weight reads over enough rows that XLA is
-    # on par (measured 4.8ms scan vs 5.1ms kernel at B=160, 100 steps) —
-    # so large-batch eval waves deliberately take the scan
+    # 2.4x at B=1-8, the transfer path). For larger waves the measured
+    # winner (benchmarks/decode_crossover.py, M=160 steps=100, v5e) is
+    # CHUNKING into B=64 kernel calls: 2.48 ms vs 2.97 one scan call vs
+    # 2.87 one 160-row kernel call — which is what the eval harness does
+    # (eval/controllability.py::_decode_all, _CHUNK=64). A single >64-row
+    # call here still falls back to the scan (one launch, no host-side
+    # chunk loop inside other jits).
     if use_pallas and z.shape[0] <= 64:
         try:
             return pallas_greedy_decode(gview, z, steps, interpret=interpret)
