@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--index", type=int, default=0,
                     help="VGMIDI test-set segment index")
     ap.add_argument("--out", default="transfer.mid")
+    ap.add_argument("--wav", default=None, metavar="PATH",
+                    help="also render an audio preview WAV (replaces the "
+                         "notebook's fluidsynth playback, cell 2)")
     args = ap.parse_args(argv)
 
     cfg = config_from_args("gmm", args)
@@ -43,6 +46,10 @@ def main(argv=None):
           f"-> {len(notes)} notes from {n_events} non-pad tokens")
     transfer_to_midi(notes, args.out)
     print(f"Wrote {args.out}")
+    if args.wav:
+        from music_fader_nets_tpu.transfer.audio import notes_to_wav
+        audio = notes_to_wav(notes, args.wav)
+        print(f"Wrote {args.wav} ({audio.size / 22050:.1f}s audio preview)")
 
 
 if __name__ == "__main__":
