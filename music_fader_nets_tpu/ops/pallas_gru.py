@@ -220,8 +220,8 @@ def _bwd_kernel(precision, lb, kt, pre_ref, hprev_ref, g_ref, w_ref, b_ref,
             pre_h = pre_h_blk[s]
             r, z, n, _ = _gates_f32(pre_ref[j, s].astype(F32), pre_h, h_prev)
             dh_total = g_ref[j, s].astype(F32) + dh_c[j]
-            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n, pre_h,
-                                              h_prev)
+            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n,
+                                              pre_h[:, 2 * H:], h_prev)
             dh_c[j] = dhloc + jax.lax.dot_general(
                 dpre_h, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=F32, precision=precision)
@@ -336,7 +336,7 @@ def stacked_gru_scan_pallas(pre, w_hh, b_hh, h0,
 # dW_ih matmul, db reduce, h_prev pads) on top of the DMA time saved.
 
 
-def _pick_l_block_embed(L, B, H, G, Vp, itemsize, bwd):
+def _pick_l_block_embed(L, B, H, G, Vp, itemsize, bwd, stash=False):
     budget = 72 * 1024 * 1024
     for lb in range(L, 0, -1):
         if L % lb:
@@ -353,6 +353,7 @@ def _pick_l_block_embed(L, B, H, G, Vp, itemsize, bwd):
         else:
             need = lb * (common
                          + 2 * B * H * itemsize      # out blocks (db)
+                         + (2 * B * 4 * H * itemsize if stash else 0)
                          + 2 * B * H * 4)            # f32 carry
         if need <= budget:
             return lb
@@ -388,9 +389,10 @@ def _embed_pre_x(tok, w_ih, b_ih, Vp, precision):
             + b_ih.astype(F32)), onehot
 
 
-def _fwd_embed_kernel(precision, lb, Vp,
+def _fwd_embed_kernel(precision, lb, Vp, stash,
                       tok_ref, wih_ref, bih_ref, w_ref, b_ref, h0_ref,
-                      out_ref, h_c):
+                      *refs):
+    out_ref, g4_ref, h_c = refs if stash else (refs[0], None, refs[1])
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -399,31 +401,49 @@ def _fwd_embed_kernel(precision, lb, Vp,
 
     for j in range(lb):
         h = h_c[j]
+        H = h.shape[-1]
         pre_x, _ = _embed_pre_x(tok_ref[j, 0, 0], wih_ref[j], bih_ref[j],
                                 Vp, precision)
         pre_h = jax.lax.dot_general(
             h, w_ref[j], (((1,), (0,)), ((), ())),
             preferred_element_type=F32, precision=precision
         ) + b_ref[j].astype(F32)
-        _, _, _, h_new = _gates_f32(pre_x, pre_h, h)
+        r, z, n, h_new = _gates_f32(pre_x, pre_h, h)
         h_c[j] = h_new
         out_ref[j, 0] = h_new.astype(out_ref.dtype)
+        if stash:
+            # gate stash for the backward: [r, z, n, hn_h] (B, 4H) — lets
+            # the bwd kernel skip BOTH recompute matmuls (pre_x embed +
+            # pre_h), trading ~39% of its FLOPs for streamed HBM reads
+            g4_ref[j, 0] = jnp.concatenate(
+                [r, z, n, pre_h[:, 2 * H:]], axis=-1).astype(g4_ref.dtype)
 
 
 def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
-                      out_dtype=None):
+                      out_dtype=None, stash_gates=False):
     """tok_lt (L, T, B) int32 (already direction-flipped per layer);
-    w_ih (L, Vp, G); returns h_seq (L, T, B, H)."""
+    w_ih (L, Vp, G); returns h_seq (L, T, B, H), plus the (L, T, B, 4H)
+    gate stash when `stash_gates` (the training/VJP path)."""
     L, T, B = tok_lt.shape
     H = h0.shape[-1]
     G = w_hh.shape[-1]
     Vp = w_ih.shape[1]
     out_dtype = out_dtype or w_ih.dtype
-    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=False)
+    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=False,
+                             stash=stash_gates)
+    seq_spec = pl.BlockSpec((lb, 1, B, H), lambda l, t: (l, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [seq_spec]
+    out_shape = [jax.ShapeDtypeStruct((L, T, B, H), out_dtype)]
+    if stash_gates:
+        out_specs.append(pl.BlockSpec((lb, 1, B, 4 * H),
+                                      lambda l, t: (l, t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((L, T, B, 4 * H), out_dtype))
     # tokens as (L, T, 1, B): Mosaic needs the trailing two block dims to
     # be (8,128)-aligned or equal to the array dims — (1, B) qualifies
-    return pl.pallas_call(
-        functools.partial(_fwd_embed_kernel, precision, lb, Vp),
+    outs = pl.pallas_call(
+        functools.partial(_fwd_embed_kernel, precision, lb, Vp, stash_gates),
         grid=(L // lb, T),
         in_specs=[
             pl.BlockSpec((lb, 1, 1, B), lambda l, t: (l, t, 0, 0),
@@ -439,25 +459,25 @@ def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
             pl.BlockSpec((lb, B, H), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((lb, 1, B, H), lambda l, t: (l, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, T, B, H), out_dtype),
+        out_specs=out_specs if stash_gates else out_specs[0],
+        out_shape=out_shape if stash_gates else out_shape[0],
         scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(tok_lt[:, :, None, :], w_ih, b_ih[:, None, :], w_hh,
       b_hh[:, None, :], h0)
+    return outs
 
 
 def _embed_bwd_need(lb, kt, B, H, G, Vp, itemsize):
-    return lb * ((Vp + H) * G * itemsize        # w_ih + w_hh (resident)
+    return lb * (H * G * itemsize               # w_hh (resident)
                  + (Vp + H) * G * 4             # dwih + dwhh acc (f32)
                  + 2 * 2 * kt * B * H * itemsize  # hcur + hprevb (db)
+                 + 2 * kt * B * 4 * H * itemsize  # g4 gate stash (db)
                  + 2 * B * H * itemsize         # h0 + g (resident)
                  + 2 * kt * B * G * 4           # dpre_x + dpre_h stash
                  + kt * B * Vp * itemsize       # onehot block values
-                 + 2 * kt * B * G * 4           # pre_x/pre_h block values
                  + 2 * B * H * 4)               # dh0 out + dh carry
 
 
@@ -475,7 +495,7 @@ def _pick_bwd_blocks_embed(L, T, B, H, G, Vp, itemsize):
 
 
 def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
-                      h0_ref, g_ref, wih_ref, bih_ref, w_ref, b_ref,
+                      g4_ref, h0_ref, g_ref, w_ref,
                       dwih_ref, dbih_ref, dw_ref, db_ref, dh0_ref,
                       dh_c, dpx_c, dph_c):
     tb_rev = pl.program_id(1)
@@ -500,12 +520,10 @@ def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
         B = dh_c.shape[1]
         H = dh_c.shape[2]
         G = w.shape[-1]
-        # batched recompute over the block: ONE embedding matmul for all kt
-        # steps' pre_x, ONE (kt*B,H)@(H,G) for all pre_h
-        onehot = _rows_onehot(tok_ref[j, :, 0, :], kt, B, Vp,
-                              wih_ref.dtype)
-        pre_x_blk = (dot(onehot, wih_ref[j], ((1,), (0,)))
-                     + bih_ref[j].astype(F32)).reshape(kt, B, G)
+        # gates come from the forward's stash — no pre_x/pre_h recompute;
+        # the onehot is still built for the dW_ih scatter-as-matmul
+        onehot = _rows_onehot(tok_ref[j, :, 0, :], kt, B, Vp, w.dtype)
+        g4 = g4_ref[j].astype(F32)                         # (kt, B, 4H)
         hcur = hcur_ref[j].astype(F32)                     # h_seq[t0:t0+kt]
         # h_prev for step s>0 is hcur[s-1]; for s==0 it's the previous
         # block's last state (h0 at the very first block)
@@ -513,13 +531,13 @@ def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
                             hprevb_ref[j, kt - 1].astype(F32))
         h_prev_blk = (h_prev0[None] if kt == 1 else jnp.concatenate(
             [h_prev0[None], hcur[: kt - 1]], axis=0))
-        pre_h_blk = (dot(h_prev_blk.reshape(kt * B, H), w, ((1,), (0,)))
-                     + b_ref[j].astype(F32)).reshape(kt, B, G)
 
         for s in range(kt - 1, -1, -1):       # sequential dh chain
             h_prev = h_prev_blk[s]
-            pre_h = pre_h_blk[s]
-            r, z, n, _ = _gates_f32(pre_x_blk[s], pre_h, h_prev)
+            r = g4[s, :, :H]
+            z = g4[s, :, H:2 * H]
+            n = g4[s, :, 2 * H:3 * H]
+            hn_h = g4[s, :, 3 * H:]
             # encoder use case: cotangent only on the FINAL state (the last
             # step overall = last s of grid step 0)
             dh_total = dh_c[j]
@@ -527,7 +545,7 @@ def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
                 dh_total = dh_total + jnp.where(
                     tb_rev == 0, g_ref[j].astype(F32),
                     jnp.zeros_like(dh_total))
-            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n, pre_h,
+            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n, hn_h,
                                               h_prev)
             dh_c[j] = dhloc + dot(dpre_h, w, ((1,), (1,)))
             dpx_c[j, s] = dpre_x
@@ -546,15 +564,17 @@ def _bwd_embed_kernel(precision, lb, kt, Vp, tok_ref, hcur_ref, hprevb_ref,
         db_ref[j] += jnp.sum(dph, axis=0, keepdims=True)
 
 
-def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
+def _bwd_embed_pallas(tok_lt, h_seq, g4_seq, h0, g_fin, w_hh, Vp,
                       precision=None):
     """g_fin: cotangent on the FINAL states only (L,B,H) — the encoder use
-    case; kept VMEM-resident and applied at the last step."""
+    case; kept VMEM-resident and applied at the last step. g4_seq is the
+    forward's (L,T,B,4H) [r,z,n,hn_h] stash; w_ih/b_ih are not needed (the
+    input projection is never recomputed)."""
     L, T, B = tok_lt.shape
     H = h0.shape[-1]
     G = w_hh.shape[-1]
-    Vp = w_ih.shape[1]
-    lb, kt = _pick_bwd_blocks_embed(L, T, B, H, G, Vp, w_ih.dtype.itemsize)
+    lb, kt = _pick_bwd_blocks_embed(L, T, B, H, G, Vp,
+                                    h_seq.dtype.itemsize)
     TB = T // kt
     rev4 = lambda l, t: (l, TB - 1 - t, 0, 0)
     # previous h_seq block (for the s=0 step's h_prev), clamped at the edge;
@@ -569,12 +589,11 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
             pl.BlockSpec((lb, kt, 1, B), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, kt, B, H), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, kt, B, H), prevb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, 4 * H), rev4,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
             g_spec,
-            pl.BlockSpec((lb, Vp, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((lb, Vp, G), res, memory_space=pltpu.VMEM),
@@ -596,8 +615,7 @@ def _bwd_embed_pallas(tok_lt, h_seq, h0, g_fin, w_ih, b_ih, w_hh, b_hh,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(tok_lt[:, :, None, :], h_seq, h_seq, h0, g_fin, w_ih, b_ih[:, None, :],
-      w_hh, b_hh[:, None, :])
+    )(tok_lt[:, :, None, :], h_seq, h_seq, g4_seq, h0, g_fin, w_hh)
     return dwih, dbih[:, 0, :], dw, db[:, 0, :], dh0
 
 
@@ -622,15 +640,16 @@ def stacked_gru_embed_finals(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
 
 
 def _embed_fin_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision):
-    h_seq = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision)
-    return h_seq[:, -1], (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
+    h_seq, g4 = _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                                  precision, stash_gates=True)
+    return h_seq[:, -1], (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq, g4)
 
 
 def _embed_fin_vjp_bwd(precision, res, g_fin):
-    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
+    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq, g4 = res
     dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
-        tok_lt, h_seq, h0, g_fin.astype(h_seq.dtype), w_ih, b_ih, w_hh, b_hh,
-        precision)
+        tok_lt, h_seq, g4, h0, g_fin.astype(h_seq.dtype), w_hh,
+        w_ih.shape[1], precision)
     return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
             dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
             db.astype(b_hh.dtype), dh0.astype(h0.dtype))
@@ -648,11 +667,13 @@ def _embed_dp_specs(axis):
 
 
 def _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
-                       precision):
+                       precision, stash_gates=False):
     tk, b4, b3, rep = _embed_dp_specs(axis)
     f = jax.shard_map(
-        functools.partial(_fwd_embed_pallas, precision=precision),
-        mesh=mesh, in_specs=(tk, rep, rep, rep, rep, b3), out_specs=b4,
+        functools.partial(_fwd_embed_pallas, precision=precision,
+                          stash_gates=stash_gates),
+        mesh=mesh, in_specs=(tk, rep, rep, rep, rep, b3),
+        out_specs=(b4, b4) if stash_gates else b4,
         check_vma=False)
     return f(tok_lt, w_ih, b_ih, w_hh, b_hh, h0)
 
@@ -668,28 +689,28 @@ def stacked_gru_embed_finals_dp(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
 
 def _embed_fin_dp_vjp_fwd(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, mesh, axis,
                           precision):
-    h_seq = _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
-                               mesh, axis, precision)
-    return h_seq[:, -1], (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq)
+    h_seq, g4 = _embed_dp_fwd_impl(tok_lt, w_ih, b_ih, w_hh, b_hh, h0,
+                                   mesh, axis, precision, stash_gates=True)
+    return h_seq[:, -1], (tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq, g4)
 
 
 def _embed_fin_dp_vjp_bwd(mesh, axis, precision, res, g_fin):
-    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq = res
+    tok_lt, w_ih, b_ih, w_hh, b_hh, h0, h_seq, g4 = res
     tk, b4, b3, rep = _embed_dp_specs(axis)
+    Vp = w_ih.shape[1]
 
-    def body(tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_):
+    def body(tok_, hseq_, g4_, h0_, g_, whh_):
         dwih, dbih, dw, db, dh0 = _bwd_embed_pallas(
-            tok_, hseq_, h0_, g_, wih_, bih_, whh_, bhh_, precision)
+            tok_, hseq_, g4_, h0_, g_, whh_, Vp, precision)
         return (jax.lax.psum(dwih, axis), jax.lax.psum(dbih, axis),
                 jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
 
     f = jax.shard_map(body, mesh=mesh,
-                      in_specs=(tk, b4, b3, b3, rep, rep, rep, rep),
+                      in_specs=(tk, b4, b4, b3, b3, rep),
                       out_specs=(rep, rep, rep, rep, b3),
                       check_vma=False)
-    dwih, dbih, dw, db, dh0 = f(tok_lt, h_seq, h0,
-                                g_fin.astype(h_seq.dtype),
-                                w_ih, b_ih, w_hh, b_hh)
+    dwih, dbih, dw, db, dh0 = f(tok_lt, h_seq, g4,
+                                h0, g_fin.astype(h_seq.dtype), w_hh)
     return (_float0_like(tok_lt), dwih.astype(w_ih.dtype),
             dbih.astype(b_ih.dtype), dw.astype(w_hh.dtype),
             db.astype(b_hh.dtype), dh0.astype(h0.dtype))
@@ -793,11 +814,11 @@ def _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
       whh2, bhh2[None], h1_0)
 
 
-def _gate_bwd(dh_total, r, z, n, pre_h, h_prev):
+def _gate_bwd(dh_total, r, z, n, hn_h, h_prev):
     """Shared GRU gate backward: returns (dpre_x, dpre_h, dh_prev_local)
-    where dh_prev_local excludes the pre_h @ w^T term."""
-    H = h_prev.shape[-1]
-    hn_h = pre_h[:, 2 * H:]
+    where dh_prev_local excludes the pre_h @ w^T term. `hn_h` is the
+    n-section of the hidden projection (pre_h[:, 2H:]) — the only part of
+    pre_h the backward needs, which is why the gate stash keeps it."""
     dn = dh_total * (1.0 - z)
     dz = dh_total * (h_prev - n)
     dan = dn * (1.0 - n * n)
@@ -867,7 +888,8 @@ def _dec_bwd_kernel(precision, kt, Vp,
     for s in range(kt - 1, -1, -1):
         r2, z2, n2, _ = _gates_f32(pre2_blk[s], preh2_blk[s], h2prev_blk[s])
         dh2 = g2_ref[s].astype(F32) + dh2_c[:]
-        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2_blk[s],
+        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2,
+                                           preh2_blk[s][:, 2 * H:],
                                            h2prev_blk[s])
         dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
         s2x_c[s] = dpre2x
@@ -884,7 +906,8 @@ def _dec_bwd_kernel(precision, kt, Vp,
             dh2_c[:] = dh2prev
 
         r1, z1, n1, _ = _gates_f32(pre1_blk[s], preh1_blk[s], h1prev_blk[s])
-        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1_blk[s],
+        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1,
+                                           preh1_blk[s][:, 2 * H:],
                                            h1prev_blk[s])
         dh1_c[:] = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
         s1x_c[s] = dpre1x
@@ -1035,10 +1058,14 @@ def _ce_from_h2(h2n, tgt, wout_ref, bout_ref, Vp, precision):
     return lse[:, 0] - logit_t, logits, lse, tgt_oh
 
 
-def _dec_fwd_ce_kernel(precision, Vp, tok_ref, tgt_ref, wtok_ref, prez_ref,
-                       whh1_ref, bhh1_ref, wih2_ref, bih2_ref,
+def _dec_fwd_ce_kernel(precision, Vp, stash, tok_ref, tgt_ref, wtok_ref,
+                       prez_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref,
                        whh2_ref, bhh2_ref, h10_ref, wout_ref, bout_ref,
-                       h1_out, h2_out, ce_out, h1_c, h2_c):
+                       *refs):
+    if stash:
+        h1_out, h2_out, ce_out, g41_out, g42_out, h1_c, h2_c = refs
+    else:
+        h1_out, h2_out, ce_out, h1_c, h2_c = refs
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -1046,6 +1073,7 @@ def _dec_fwd_ce_kernel(precision, Vp, tok_ref, tgt_ref, wtok_ref, prez_ref,
         h1_c[:] = h10_ref[:].astype(F32)
         h2_c[:] = jnp.zeros_like(h2_c)
 
+    H = h1_c.shape[-1]
     h1 = h1_c[:]
     pre1, _ = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
                            Vp, precision)
@@ -1053,7 +1081,7 @@ def _dec_fwd_ce_kernel(precision, Vp, tok_ref, tgt_ref, wtok_ref, prez_ref,
         h1, whh1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=F32, precision=precision
     ) + bhh1_ref[:].astype(F32)
-    _, _, _, h1n = _gates_f32(pre1, preh1, h1)
+    r1, z1, n1, h1n = _gates_f32(pre1, preh1, h1)
 
     h2prev = jnp.where(t == 0, h1n, h2_c[:])
     pre2 = jax.lax.dot_general(
@@ -1064,7 +1092,7 @@ def _dec_fwd_ce_kernel(precision, Vp, tok_ref, tgt_ref, wtok_ref, prez_ref,
         h2prev, whh2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=F32, precision=precision
     ) + bhh2_ref[:].astype(F32)
-    _, _, _, h2n = _gates_f32(pre2, preh2, h2prev)
+    r2, z2, n2, h2n = _gates_f32(pre2, preh2, h2prev)
 
     ce, _, _, _ = _ce_from_h2(h2n, tgt_ref[0, 0], wout_ref, bout_ref,
                               Vp, precision)
@@ -1073,10 +1101,18 @@ def _dec_fwd_ce_kernel(precision, Vp, tok_ref, tgt_ref, wtok_ref, prez_ref,
     h1_out[0] = h1n.astype(h1_out.dtype)
     h2_out[0] = h2n.astype(h2_out.dtype)
     ce_out[0, 0] = ce.astype(ce_out.dtype)
+    if stash:
+        # [r, z, n, hn_h] per layer — lets the backward skip all four
+        # recompute matmuls (pre1 embed, preh1, pre2, preh2)
+        g41_out[0] = jnp.concatenate(
+            [r1, z1, n1, preh1[:, 2 * H:]], axis=-1).astype(g41_out.dtype)
+        g42_out[0] = jnp.concatenate(
+            [r2, z2, n2, preh2[:, 2 * H:]], axis=-1).astype(g42_out.dtype)
 
 
 def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
-                       whh2, bhh2, h1_0, w_out, b_out, precision=None):
+                       whh2, bhh2, h1_0, w_out, b_out, precision=None,
+                       stash_gates=False):
     T, B = tok_t.shape
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
@@ -1084,8 +1120,20 @@ def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
     dt = w_tok.dtype
     res2 = lambda t: (0, 0)
     tok3 = lambda t: (t, 0, 0)
+    out_specs = [
+        pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), dt),
+                 jax.ShapeDtypeStruct((T, B, H), dt),
+                 jax.ShapeDtypeStruct((T, 1, B), F32)]
+    if stash_gates:
+        g4_spec = pl.BlockSpec((1, B, 4 * H), tok3, memory_space=pltpu.VMEM)
+        out_specs += [g4_spec, g4_spec]
+        out_shape += [jax.ShapeDtypeStruct((T, B, 4 * H), dt)] * 2
     return pl.pallas_call(
-        functools.partial(_dec_fwd_ce_kernel, precision, Vp),
+        functools.partial(_dec_fwd_ce_kernel, precision, Vp, stash_gates),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
@@ -1102,14 +1150,8 @@ def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
             pl.BlockSpec((H, Vp), res2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp), res2, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((T, B, H), dt),
-                   jax.ShapeDtypeStruct((T, B, H), dt),
-                   jax.ShapeDtypeStruct((T, 1, B), F32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -1122,8 +1164,8 @@ def _dec_bwd_need(kt, B, H, G, Vp, itemsize):
     wacc = (Vp * G + 3 * H * G + H * Vp + B * G) * (itemsize + 4)
     return (wacc                                   # weights + f32 accs
             + 2 * 4 * kt * B * H * itemsize        # h1/h2 cur+prev (db)
+            + 2 * 2 * kt * B * 4 * H * itemsize    # g41/g42 stash (db)
             + 4 * kt * B * G * 4                   # dpre stashes (f32)
-            + 4 * kt * B * G * 4                   # pre block values
             + 3 * kt * B * Vp * 4                  # logits/dlogits/onehot
             + 4 * B * H * 4)                       # carries + dh10
 
@@ -1137,9 +1179,8 @@ def _pick_dec_t_block(T, B, H, G, Vp, itemsize):
 
 def _dec_bwd_ce_kernel(precision, kt, Vp,
                        tok_ref, tgt_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
-                       gce_ref,
-                       wtok_ref, prez_ref, whh1_ref, bhh1_ref,
-                       wih2_ref, bih2_ref, whh2_ref, bhh2_ref, h10_ref,
+                       g41_ref, g42_ref, gce_ref,
+                       whh1_ref, wih2_ref, whh2_ref, h10_ref,
                        wout_ref, bout_ref,
                        dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
                        dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
@@ -1182,33 +1223,29 @@ def _dec_bwd_ce_kernel(precision, kt, Vp,
     dbout_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
     dh2ce = dot(dlogits, wout_ref[:], ((1,), (1,))).reshape(kt, B, H)
 
-    # ---- batched recomputes for both layers ----
-    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, wtok_ref.dtype)
-    pre1_blk = (dot(onehot, wtok_ref[:], ((1,), (0,))).reshape(kt, B, G)
-                + prez_ref[:].astype(F32)[None])
+    # ---- gates come from the forward's stash; only the h_prev streams
+    # and the dW_tok onehot are (re)built ----
+    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, whh1_ref.dtype)
+    g41 = g41_ref[:].astype(F32)                           # (kt, B, 4H)
+    g42 = g42_ref[:].astype(F32)
     h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
                         h1p_ref[kt - 1].astype(F32))
     h1prev_blk = (h1prev0[None] if kt == 1 else jnp.concatenate(
         [h1prev0[None], h1cur[: kt - 1]], axis=0))
-    preh1_blk = (dot(h1prev_blk.reshape(kt * B, H), whh1_ref[:],
-                     ((1,), (0,)))
-                 + bhh1_ref[:].astype(F32)).reshape(kt, B, G)
     # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
     # state (model_v2.py:130-132)
     h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
     h2prev_blk = (h2prev0[None] if kt == 1 else jnp.concatenate(
         [h2prev0[None], h2cur[: kt - 1]], axis=0))
-    pre2_blk = (dot(h1flat, wih2_ref[:], ((1,), (0,)))
-                + bih2_ref[:].astype(F32)).reshape(kt, B, G)
-    preh2_blk = (dot(h2prev_blk.reshape(kt * B, H), whh2_ref[:],
-                     ((1,), (0,)))
-                 + bhh2_ref[:].astype(F32)).reshape(kt, B, G)
 
     # ---- sequential dh chains over the block (reversed) ----
     for s in range(kt - 1, -1, -1):
-        r2, z2, n2, _ = _gates_f32(pre2_blk[s], preh2_blk[s], h2prev_blk[s])
+        r2 = g42[s, :, :H]
+        z2 = g42[s, :, H:2 * H]
+        n2 = g42[s, :, 2 * H:3 * H]
         dh2 = dh2ce[s] + dh2_c[:]
-        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2, preh2_blk[s],
+        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2,
+                                           g42[s, :, 3 * H:],
                                            h2prev_blk[s])
         dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
         s2x_c[s] = dpre2x
@@ -1223,8 +1260,11 @@ def _dec_bwd_ce_kernel(precision, kt, Vp,
         else:
             dh2_c[:] = dh2prev
 
-        r1, z1, n1, _ = _gates_f32(pre1_blk[s], preh1_blk[s], h1prev_blk[s])
-        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1, preh1_blk[s],
+        r1 = g41[s, :, :H]
+        z1 = g41[s, :, H:2 * H]
+        n1 = g41[s, :, 2 * H:3 * H]
+        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1,
+                                           g41[s, :, 3 * H:],
                                            h1prev_blk[s])
         dh1_c[:] = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
         s1x_c[s] = dpre1x
@@ -1249,14 +1289,13 @@ def _dec_bwd_ce_kernel(precision, kt, Vp,
     dbhh2_ref[:] += jnp.sum(s2h, axis=0, keepdims=True)
 
 
-def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
-                       whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
-                       w_out, b_out, precision=None):
+def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
+                       g_ce, whh1, wih2, whh2, h1_0,
+                       w_out, b_out, Vp, precision=None):
     T, B = tok_t.shape
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
-    Vp = w_tok.shape[0]
-    kt = _pick_dec_t_block(T, B, H, G, Vp, w_tok.dtype.itemsize)
+    kt = _pick_dec_t_block(T, B, H, G, Vp, h1_seq.dtype.itemsize)
     TB = T // kt
     rev3 = lambda t: (TB - 1 - t, 0, 0)
     prev = lambda t: (jnp.maximum(TB - 2 - t, 0), 0, 0)
@@ -1271,15 +1310,12 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
             pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, 4 * H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, 4 * H), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, Vp), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp), res, memory_space=pltpu.VMEM),
@@ -1319,8 +1355,8 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g_ce, w_tok, pre_z,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(tok_t[:, None, :], tgt_t[:, None, :], h1_seq, h1_seq, h2_seq, h2_seq,
-      g_ce[:, None, :], w_tok, pre_z, whh1, bhh1[None], wih2, bih2[None],
-      whh2, bhh2[None], h1_0, w_out, b_out[None])
+      g41_seq, g42_seq, g_ce[:, None, :], whh1, wih2, whh2, h1_0,
+      w_out, b_out[None])
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
      dwout, dbout) = outs
     return (dwtok, dprez, dwhh1, dbhh1[0], dwih2, dbih2[0],
@@ -1340,21 +1376,21 @@ def _dec_nll_core(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
 def _dec_nll_vjp_fwd(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
                      whh2, bhh2, h1_0, wout_bout, precision):
     w_out, b_out = wout_bout
-    h1_seq, h2_seq, ce = _dec_fwd_ce_pallas(
+    h1_seq, h2_seq, ce, g41, g42 = _dec_fwd_ce_pallas(
         tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
-        h1_0, w_out, b_out, precision)
-    return ce[:, 0, :], (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z,
-                         whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+        h1_0, w_out, b_out, precision, stash_gates=True)
+    return ce[:, 0, :], (tok_t, tgt_t, h1_seq, h2_seq, g41, g42, w_tok,
+                         pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
                          w_out, b_out)
 
 
 def _dec_nll_vjp_bwd(precision, res, g_ce):
-    (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+    (tok_t, tgt_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z, whh1, bhh1,
      wih2, bih2, whh2, bhh2, h1_0, w_out, b_out) = res
-    grads = _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq,
-                               g_ce.astype(F32), w_tok, pre_z,
-                               whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
-                               w_out, b_out, precision)
+    grads = _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41, g42,
+                               g_ce.astype(F32),
+                               whh1, wih2, whh2, h1_0,
+                               w_out, b_out, w_tok.shape[0], precision)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
      dwout, dbout) = grads
     return (_float0_like(tok_t), _float0_like(tgt_t),
@@ -1408,33 +1444,35 @@ def _dec_nll_dp_vjp_fwd(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
 
     def body(tok_, tgt_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
              bhh2_, h10_, wout_, bout_):
-        h1s, h2s, ce = _dec_fwd_ce_pallas(
+        h1s, h2s, ce, g41, g42 = _dec_fwd_ce_pallas(
             tok_, tgt_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
-            bhh2_, h10_, wout_, bout_, precision)
-        return h1s, h2s, ce[:, 0, :]
+            bhh2_, h10_, wout_, bout_, precision, stash_gates=True)
+        return h1s, h2s, ce[:, 0, :], g41, g42
 
     f = jax.shard_map(body, mesh=mesh,
                       in_specs=(tk, tk, rep, bb, rep, rep, rep, rep, rep,
                                 rep, bb, rep, rep),
-                      out_specs=(b4, b4, tk), check_vma=False)
-    h1_seq, h2_seq, ce = f(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2,
-                           bih2, whh2, bhh2, h1_0, w_out, b_out)
-    return ce, (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
-                wih2, bih2, whh2, bhh2, h1_0, w_out, b_out)
+                      out_specs=(b4, b4, tk, b4, b4), check_vma=False)
+    h1_seq, h2_seq, ce, g41, g42 = f(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1,
+                                     wih2, bih2, whh2, bhh2, h1_0,
+                                     w_out, b_out)
+    return ce, (tok_t, tgt_t, h1_seq, h2_seq, g41, g42, w_tok, whh1,
+                wih2, whh2, h1_0, w_out, b_out, pre_z, bhh1, bih2, bhh2)
 
 
 def _dec_nll_dp_vjp_bwd(mesh, axis, precision, res, g_ce):
-    (tok_t, tgt_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
-     wih2, bih2, whh2, bhh2, h1_0, w_out, b_out) = res
+    (tok_t, tgt_t, h1_seq, h2_seq, g41, g42, w_tok, whh1,
+     wih2, whh2, h1_0, w_out, b_out, pre_z, bhh1, bih2, bhh2) = res
     from jax.sharding import PartitionSpec as P
     tk, b4, bb, rep = (P(None, axis), P(None, axis, None), P(axis, None),
                        P())
+    Vp = w_tok.shape[0]
 
-    def body(tok_, tgt_, h1s_, h2s_, g_, wtok_, prez_, whh1_, bhh1_, wih2_,
-             bih2_, whh2_, bhh2_, h10_, wout_, bout_):
-        out = _dec_bwd_ce_pallas(tok_, tgt_, h1s_, h2s_, g_, wtok_, prez_,
-                                 whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
-                                 h10_, wout_, bout_, precision)
+    def body(tok_, tgt_, h1s_, h2s_, g41_, g42_, g_, whh1_, wih2_,
+             whh2_, h10_, wout_, bout_):
+        out = _dec_bwd_ce_pallas(tok_, tgt_, h1s_, h2s_, g41_, g42_, g_,
+                                 whh1_, wih2_, whh2_,
+                                 h10_, wout_, bout_, Vp, precision)
         (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
          dwout, dbout) = out
         return (jax.lax.psum(dwtok, axis), dprez,
@@ -1444,15 +1482,15 @@ def _dec_nll_dp_vjp_bwd(mesh, axis, precision, res, g_ce):
                 jax.lax.psum(dwout, axis), jax.lax.psum(dbout, axis))
 
     f = jax.shard_map(body, mesh=mesh,
-                      in_specs=(tk, tk, b4, b4, tk, rep, bb, rep, rep, rep,
-                                rep, rep, rep, bb, rep, rep),
+                      in_specs=(tk, tk, b4, b4, b4, b4, tk, rep, rep,
+                                rep, bb, rep, rep),
                       out_specs=(rep, bb, rep, rep, rep, rep, rep, rep, bb,
                                  rep, rep),
                       check_vma=False)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
-     dwout, dbout) = f(tok_t, tgt_t, h1_seq, h2_seq, g_ce.astype(F32),
-                       w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
-                       h1_0, w_out, b_out)
+     dwout, dbout) = f(tok_t, tgt_t, h1_seq, h2_seq, g41, g42,
+                       g_ce.astype(F32),
+                       whh1, wih2, whh2, h1_0, w_out, b_out)
     return (_float0_like(tok_t), _float0_like(tgt_t),
             dwtok.astype(w_tok.dtype), dprez.astype(pre_z.dtype),
             dwhh1.astype(whh1.dtype), dbhh1.astype(bhh1.dtype),
