@@ -10,9 +10,14 @@ the automatic grid pipeline, and the hidden carry lives in an f32 VMEM
 scratch.
 
 The backward pass is a second kernel walking t in reverse (via the output
-index map), recomputing the gates from `pre` and `h_prev` (cheaper than
-persisting (L,T,B,3H) gate tensors to HBM) and accumulating `dW_hh`/`db_hh`
-directly into its VMEM-resident output blocks.
+index map), recomputing the gates from `pre` and `h_prev` and accumulating
+`dW_hh`/`db_hh` directly into its VMEM-resident output blocks. NB the
+embed-encoder and fused-decoder kernels below instead STASH the gates
+`[r, z, n, hn_h]` in the forward — there the backward skips big embedding/
+projection matmuls, a measured win. For THIS generic kernel the stash was
+measured a net loss at its production geometry (sub-decoders, T=16: the
+4H/step stash write exceeds the one (B,H)@(H,3H) recompute it saves —
+vanilla train step 5.43 -> 5.85 ms), so it recomputes.
 
 Semantics are EXACTLY `ops.gru.stacked_gru_scan` (same gate math/order);
 equivalence of values and gradients is pinned by tests/test_pallas_gru.py.
@@ -736,10 +741,13 @@ stacked_gru_embed_finals_dp.defvjp(_embed_fin_dp_vjp_fwd,
 # VMEM-resident outputs; only dpre_z (B,3H) and dh1_0 (B,H) leave per-batch.
 
 
-def _dec_fwd_kernel(precision, Vp, tok_ref, wtok_ref, prez_ref,
+def _dec_fwd_kernel(precision, Vp, stash, tok_ref, wtok_ref, prez_ref,
                     whh1_ref, bhh1_ref, wih2_ref, bih2_ref,
-                    whh2_ref, bhh2_ref, h10_ref,
-                    h1_out, h2_out, h1_c, h2_c):
+                    whh2_ref, bhh2_ref, h10_ref, *refs):
+    if stash:
+        h1_out, h2_out, g41_out, g42_out, h1_c, h2_c = refs
+    else:
+        h1_out, h2_out, h1_c, h2_c = refs
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -747,6 +755,7 @@ def _dec_fwd_kernel(precision, Vp, tok_ref, wtok_ref, prez_ref,
         h1_c[:] = h10_ref[:].astype(F32)
         h2_c[:] = jnp.zeros_like(h2_c)
 
+    H = h1_c.shape[-1]
     h1 = h1_c[:]
     pre1, _ = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
                            Vp, precision)
@@ -754,7 +763,7 @@ def _dec_fwd_kernel(precision, Vp, tok_ref, wtok_ref, prez_ref,
         h1, whh1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=F32, precision=precision
     ) + bhh1_ref[:].astype(F32)
-    _, _, _, h1n = _gates_f32(pre1, preh1, h1)
+    r1, z1, n1, h1n = _gates_f32(pre1, preh1, h1)
 
     h2prev = jnp.where(t == 0, h1n, h2_c[:])
     pre2 = jax.lax.dot_general(
@@ -765,29 +774,48 @@ def _dec_fwd_kernel(precision, Vp, tok_ref, wtok_ref, prez_ref,
         h2prev, whh2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=F32, precision=precision
     ) + bhh2_ref[:].astype(F32)
-    _, _, _, h2n = _gates_f32(pre2, preh2, h2prev)
+    r2, z2, n2, h2n = _gates_f32(pre2, preh2, h2prev)
 
     h1_c[:] = h1n
     h2_c[:] = h2n
     h1_out[0] = h1n.astype(h1_out.dtype)
     h2_out[0] = h2n.astype(h2_out.dtype)
+    if stash:
+        # [r, z, n, hn_h] per layer — lets the backward skip all four
+        # recompute matmuls (pre1 embed, preh1, pre2, preh2)
+        g41_out[0] = jnp.concatenate(
+            [r1, z1, n1, preh1[:, 2 * H:]], axis=-1).astype(g41_out.dtype)
+        g42_out[0] = jnp.concatenate(
+            [r2, z2, n2, preh2[:, 2 * H:]], axis=-1).astype(g42_out.dtype)
 
 
 def _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
-                    whh2, bhh2, h1_0, precision=None):
-    """tok_t (T, B) int32 teacher tokens; returns (h1_seq, h2_seq) (T,B,H)."""
+                    whh2, bhh2, h1_0, precision=None, stash_gates=False):
+    """tok_t (T, B) int32 teacher tokens; returns (h1_seq, h2_seq) (T,B,H),
+    plus per-layer (T,B,4H) [r,z,n,hn_h] gate stashes when `stash_gates`
+    (the training/VJP path)."""
     T, B = tok_t.shape
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     Vp = w_tok.shape[0]
     dt = w_tok.dtype
     res2 = lambda t: (0, 0)
+    tok3 = lambda t: (t, 0, 0)
+    out_specs = [
+        pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), dt),
+                 jax.ShapeDtypeStruct((T, B, H), dt)]
+    if stash_gates:
+        g4_spec = pl.BlockSpec((1, B, 4 * H), tok3, memory_space=pltpu.VMEM)
+        out_specs += [g4_spec, g4_spec]
+        out_shape += [jax.ShapeDtypeStruct((T, B, 4 * H), dt)] * 2
     return pl.pallas_call(
-        functools.partial(_dec_fwd_kernel, precision, Vp),
+        functools.partial(_dec_fwd_kernel, precision, Vp, stash_gates),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, G), res2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, G), res2, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
@@ -798,14 +826,8 @@ def _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
             pl.BlockSpec((1, G), res2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), res2, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((T, B, H), dt),
-                   jax.ShapeDtypeStruct((T, B, H), dt)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), F32), pltpu.VMEM((B, H), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -832,9 +854,9 @@ def _gate_bwd(dh_total, r, z, n, hn_h, h_prev):
 
 
 def _dec_bwd_kernel(precision, kt, Vp,
-                    tok_ref, h1_ref, h1p_ref, h2_ref, h2p_ref, g2_ref,
-                    wtok_ref, prez_ref, whh1_ref, bhh1_ref,
-                    wih2_ref, bih2_ref, whh2_ref, bhh2_ref, h10_ref,
+                    tok_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
+                    g41_ref, g42_ref, g2_ref,
+                    whh1_ref, wih2_ref, whh2_ref, h10_ref,
                     dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
                     dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
                     dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c):
@@ -862,34 +884,29 @@ def _dec_bwd_kernel(precision, kt, Vp,
     h2cur = h2_ref[:].astype(F32)
     h1flat = h1cur.reshape(kt * B, H)
 
-    # ---- batched recomputes for both layers ----
-    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, wtok_ref.dtype)
-    pre1_blk = (dot(onehot, wtok_ref[:], ((1,), (0,))).reshape(kt, B, G)
-                + prez_ref[:].astype(F32)[None])
+    # ---- gates come from the forward's stash; only the h_prev streams
+    # and the dW_tok onehot are (re)built ----
+    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, whh1_ref.dtype)
+    g41 = g41_ref[:].astype(F32)                           # (kt, B, 4H)
+    g42 = g42_ref[:].astype(F32)
     h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
                         h1p_ref[kt - 1].astype(F32))
     h1prev_blk = (h1prev0[None] if kt == 1 else jnp.concatenate(
         [h1prev0[None], h1cur[: kt - 1]], axis=0))
-    preh1_blk = (dot(h1prev_blk.reshape(kt * B, H), whh1_ref[:],
-                     ((1,), (0,)))
-                 + bhh1_ref[:].astype(F32)).reshape(kt, B, G)
     # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
     # state (model_v2.py:130-132)
     h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
     h2prev_blk = (h2prev0[None] if kt == 1 else jnp.concatenate(
         [h2prev0[None], h2cur[: kt - 1]], axis=0))
-    pre2_blk = (dot(h1flat, wih2_ref[:], ((1,), (0,)))
-                + bih2_ref[:].astype(F32)).reshape(kt, B, G)
-    preh2_blk = (dot(h2prev_blk.reshape(kt * B, H), whh2_ref[:],
-                     ((1,), (0,)))
-                 + bhh2_ref[:].astype(F32)).reshape(kt, B, G)
 
     # ---- sequential dh chains over the block (reversed) ----
     for s in range(kt - 1, -1, -1):
-        r2, z2, n2, _ = _gates_f32(pre2_blk[s], preh2_blk[s], h2prev_blk[s])
+        r2 = g42[s, :, :H]
+        z2 = g42[s, :, H:2 * H]
+        n2 = g42[s, :, 2 * H:3 * H]
         dh2 = g2_ref[s].astype(F32) + dh2_c[:]
         dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2,
-                                           preh2_blk[s][:, 2 * H:],
+                                           g42[s, :, 3 * H:],
                                            h2prev_blk[s])
         dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
         s2x_c[s] = dpre2x
@@ -905,9 +922,11 @@ def _dec_bwd_kernel(precision, kt, Vp,
         else:
             dh2_c[:] = dh2prev
 
-        r1, z1, n1, _ = _gates_f32(pre1_blk[s], preh1_blk[s], h1prev_blk[s])
+        r1 = g41[s, :, :H]
+        z1 = g41[s, :, H:2 * H]
+        n1 = g41[s, :, 2 * H:3 * H]
         dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1,
-                                           preh1_blk[s][:, 2 * H:],
+                                           g41[s, :, 3 * H:],
                                            h1prev_blk[s])
         dh1_c[:] = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
         s1x_c[s] = dpre1x
@@ -932,14 +951,12 @@ def _dec_bwd_kernel(precision, kt, Vp,
     dbhh2_ref[:] += jnp.sum(s2h, axis=0, keepdims=True)
 
 
-def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
-                    whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
-                    precision=None):
+def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g41_seq, g42_seq, g2_seq,
+                    whh1, wih2, whh2, h1_0, Vp, precision=None):
     T, B = tok_t.shape
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
-    Vp = w_tok.shape[0]
-    kt = _pick_dec_t_block(T, B, H, G, Vp, w_tok.dtype.itemsize)
+    kt = _pick_dec_t_block(T, B, H, G, Vp, h1_seq.dtype.itemsize)
     TB = T // kt
     rev_tok = lambda t: (TB - 1 - t, 0, 0)
     rev = lambda t: (TB - 1 - t, 0, 0)
@@ -954,15 +971,12 @@ def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
             pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, B, 4 * H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Vp, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), res, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -995,9 +1009,8 @@ def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2_seq, w_tok, pre_z,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(tok_t[:, None, :], h1_seq, h1_seq, h2_seq, h2_seq, g2_seq,
-      w_tok, pre_z, whh1, bhh1[None], wih2, bih2[None], whh2, bhh2[None],
-      h1_0)
+    )(tok_t[:, None, :], h1_seq, h1_seq, h2_seq, h2_seq, g41_seq, g42_seq,
+      g2_seq, whh1, wih2, whh2, h1_0)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = outs
     return (dwtok, dprez, dwhh1, dbhh1[0], dwih2, dbih2[0],
             dwhh2, dbhh2[0], dh10)
@@ -1013,18 +1026,20 @@ def _dec_teacher_core(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
 
 def _dec_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
                  whh2, bhh2, h1_0, precision):
-    h1_seq, h2_seq = _dec_fwd_pallas(tok_t, w_tok, pre_z, whh1, bhh1,
-                                     wih2, bih2, whh2, bhh2, h1_0, precision)
-    return h2_seq, (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
-                    wih2, bih2, whh2, bhh2, h1_0)
+    h1_seq, h2_seq, g41, g42 = _dec_fwd_pallas(
+        tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+        precision, stash_gates=True)
+    return h2_seq, (tok_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z,
+                    whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0)
 
 
 def _dec_vjp_bwd(precision, res, g2):
-    (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+    (tok_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z, whh1, bhh1,
      wih2, bih2, whh2, bhh2, h1_0) = res
-    grads = _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g2.astype(h2_seq.dtype),
-                            w_tok, pre_z, whh1, bhh1, wih2, bih2,
-                            whh2, bhh2, h1_0, precision)
+    grads = _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g41, g42,
+                            g2.astype(h2_seq.dtype),
+                            whh1, wih2, whh2, h1_0, w_tok.shape[0],
+                            precision)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = grads
     return (_float0_like(tok_t), dwtok.astype(w_tok.dtype),
             dprez.astype(pre_z.dtype), dwhh1.astype(whh1.dtype),
@@ -1578,30 +1593,30 @@ def _dec_dp_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
     def body(tok_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
              h10_):
         return _dec_fwd_pallas(tok_, wtok_, prez_, whh1_, bhh1_, wih2_,
-                               bih2_, whh2_, bhh2_, h10_, precision)
+                               bih2_, whh2_, bhh2_, h10_, precision,
+                               stash_gates=True)
 
     f = jax.shard_map(body, mesh=mesh,
                       in_specs=(tk, rep, bb, rep, rep, rep, rep, rep, rep,
                                 bb),
-                      out_specs=(b4, b4), check_vma=False)
-    h1_seq, h2_seq = f(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
-                       whh2, bhh2, h1_0)
-    return h2_seq, (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
-                    wih2, bih2, whh2, bhh2, h1_0)
+                      out_specs=(b4, b4, b4, b4), check_vma=False)
+    h1_seq, h2_seq, g41, g42 = f(tok_t, w_tok, pre_z, whh1, bhh1, wih2,
+                                 bih2, whh2, bhh2, h1_0)
+    return h2_seq, (tok_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z,
+                    whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0)
 
 
 def _dec_dp_vjp_bwd(mesh, axis, precision, res, g2):
-    (tok_t, h1_seq, h2_seq, w_tok, pre_z, whh1, bhh1,
+    (tok_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z, whh1, bhh1,
      wih2, bih2, whh2, bhh2, h1_0) = res
     _, b4, bb, rep = _dec_dp_specs(axis)
     from jax.sharding import PartitionSpec as P
     tk = P(None, axis)
+    Vp = w_tok.shape[0]
 
-    def body(tok_, h1s_, h2s_, g2_, wtok_, prez_, whh1_, bhh1_, wih2_,
-             bih2_, whh2_, bhh2_, h10_):
-        out = _dec_bwd_pallas(tok_, h1s_, h2s_, g2_, wtok_, prez_,
-                              whh1_, bhh1_, wih2_, bih2_, whh2_, bhh2_,
-                              h10_, precision)
+    def body(tok_, h1s_, h2s_, g41_, g42_, g2_, whh1_, wih2_, whh2_, h10_):
+        out = _dec_bwd_pallas(tok_, h1s_, h2s_, g41_, g42_, g2_,
+                              whh1_, wih2_, whh2_, h10_, Vp, precision)
         (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10) = out
         return (jax.lax.psum(dwtok, axis), dprez,
                 jax.lax.psum(dwhh1, axis), jax.lax.psum(dbhh1, axis),
@@ -1609,13 +1624,12 @@ def _dec_dp_vjp_bwd(mesh, axis, precision, res, g2):
                 jax.lax.psum(dwhh2, axis), jax.lax.psum(dbhh2, axis), dh10)
 
     f = jax.shard_map(body, mesh=mesh,
-                      in_specs=(tk, b4, b4, b4, rep, bb, rep, rep, rep, rep,
-                                rep, rep, bb),
+                      in_specs=(tk, b4, b4, b4, b4, b4, rep, rep, rep, bb),
                       out_specs=(rep, bb, rep, rep, rep, rep, rep, rep, bb),
                       check_vma=False)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbib2, dwhh2, dbhh2, dh10) = f(
-        tok_t, h1_seq, h2_seq, g2.astype(h2_seq.dtype), w_tok, pre_z,
-        whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0)
+        tok_t, h1_seq, h2_seq, g41, g42, g2.astype(h2_seq.dtype),
+        whh1, wih2, whh2, h1_0)
     return (_float0_like(tok_t), dwtok.astype(w_tok.dtype),
             dprez.astype(pre_z.dtype), dwhh1.astype(whh1.dtype),
             dbhh1.astype(bhh1.dtype), dwih2.astype(wih2.dtype),
