@@ -19,8 +19,10 @@ from benchmarks.kernel_lb_sweep import time_fn
 
 
 def force_kt(kt):
-    def fake(T, fits):
-        return kt if T % kt == 0 else 1
+    def fake(T, fits, **_kw):
+        # still honor the kernel's VMEM feasibility model — forcing an
+        # infeasible kt just OOMs scoped vmem at compile time
+        return kt if T % kt == 0 and fits(kt) else 1
     pallas_gru._pick_t_block = fake
 
 
@@ -56,6 +58,21 @@ def case_embed(L=4, T=100, B=128, H=512, V=342):
             (wih, bih, whh, bhh, h0), 4)
 
 
+def case_dec(T=100, B=128, H=512, V=342):
+    """Non-CE fused teacher decoder (GLSR/recon path): full log-probs out."""
+    from music_fader_nets_tpu.models.modules import global_decoder_init
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    p = global_decoder_init(ks[0], 2 * 128 + 24, V, H)
+    z = jax.random.normal(ks[1], (B, 2 * 128 + 24)) * 0.1
+    tok = jax.random.randint(ks[2], (B, T), 0, V)
+
+    def loss(p, z):
+        h2 = pallas_gru.decoder_teacher_fused(p, z, tok, V)
+        return jnp.sum(h2)
+
+    return jax.value_and_grad(loss, argnums=(0, 1)), (p, z), 1
+
+
 def case_dec_ce(T=100, B=128, H=512, V=342):
     from music_fader_nets_tpu.models.modules import global_decoder_init
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
@@ -73,7 +90,7 @@ def case_dec_ce(T=100, B=128, H=512, V=342):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kts", default="1,2,4,5,10")
-    ap.add_argument("--cases", default="generic,embed,dec_ce")
+    ap.add_argument("--cases", default="generic,embed,dec,dec_ce")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
     import os
@@ -84,7 +101,7 @@ def main():
 
     orig = pallas_gru._pick_t_block
     cases = {"generic": case_generic, "embed": case_embed,
-             "dec_ce": case_dec_ce}
+             "dec": case_dec, "dec_ce": case_dec_ce}
     for name in args.cases.split(","):
         fn, a, h0i = cases[name]()
         for kt in (int(x) for x in args.kts.split(",")):

@@ -108,6 +108,11 @@ def gmm_supervised_kl(mu, std, y_label, qy_x, mu_lookup, logvar_lookup
 _NOTE_ON_LO, _NOTE_ON_HI = 2, 90
 _TIME_SEP_LO, _TIME_SEP_HI = 180, 278
 
+# the two masses the GLSR soft attributes consume, as static vocab ranges
+# for the fused masked-mass decoder kernel (order: played, separators)
+GLSR_MASK_RANGES = ((_NOTE_ON_LO, _NOTE_ON_HI),
+                    (_TIME_SEP_LO, _TIME_SEP_HI))
+
 
 def _soft_masks(vocab: int, dtype):
     played = jnp.zeros((vocab,), dtype).at[_NOTE_ON_LO:_NOTE_ON_HI].set(1.0)
@@ -145,13 +150,22 @@ def approx_rhythm_density(log_probs: jax.Array,
     f(c) = 1 (zero gradient, via `cur/cur`) if c > 1e-2 else c; finally
     divide by the sample's total separator mass. The scan below reproduces
     that recurrence exactly, batched.
+    """
+    return rhythm_density_from_masses(approx_played_notes(log_probs),
+                                      approx_time_separators(log_probs),
+                                      faithful_batch0)
+
+
+def rhythm_density_from_masses(played: jax.Array, sep: jax.Array,
+                               faithful_batch0: bool = True) -> jax.Array:
+    """`approx_rhythm_density` on precomputed (B, T) note-on / separator
+    masses — the form the fused masked-mass decoder kernel emits
+    (ops/pallas_gru.py::decoder_teacher_fused_masses).
 
     faithful_batch0 replicates the reference bug that indexes
     `played_notes[0][i]` — every sample accumulates batch element 0's
     note-on masses (trainer_glsr.py:154).
     """
-    played = approx_played_notes(log_probs)            # (B, T)
-    sep = approx_time_separators(log_probs)            # (B, T)
     if faithful_batch0:
         played = jnp.broadcast_to(played[0:1], played.shape)
 
@@ -176,7 +190,8 @@ def approx_rhythm_density(log_probs: jax.Array,
 
 def glsr_regularizer(decode_fn, z_r, z_n, chroma, rng,
                      epsilon: float = 1e-2,
-                     faithful_batch0: bool = True) -> Tuple[jax.Array, jax.Array]:
+                     faithful_batch0: bool = True,
+                     masses_fn=None) -> Tuple[jax.Array, jax.Array]:
     """GLSR finite-difference latent supervision (reference
     trainer_glsr.py:173-229).
 
@@ -185,6 +200,14 @@ def glsr_regularizer(decode_fn, z_r, z_n, chroma, rng,
     Perturbs dim 0 of each stream by ±delta, delta = (1 + U[0,1)) * eps,
     decodes, estimates d(attr)/dz by central difference, and penalizes
     -log N(grad; 0, 1).
+
+    `masses_fn(z_full) -> (played (B, steps), sep (B, steps))` is the
+    fast-path alternative: the soft attributes only consume note-on and
+    time-separator probability masses, so the fused masked-mass decoder
+    kernel (models.modules.global_decoder_teacher_masses) can supply them
+    without ever materializing the (B, steps, V) log-probs. Identical
+    numerics (softmax mask sums are exactly approx_played_notes /
+    approx_time_separators).
     """
     B = z_r.shape[0]
     kr, kn = jax.random.split(rng)
@@ -201,14 +224,23 @@ def glsr_regularizer(decode_fn, z_r, z_n, chroma, rng,
         jnp.concatenate([z_r, z_n.at[:, 0].add(d_n), chroma], axis=-1),
         jnp.concatenate([z_r, z_n.at[:, 0].add(-d_n), chroma], axis=-1),
     ], axis=0)
-    lp_rp, lp_rm, lp_np, lp_nm = jnp.split(decode_fn(z_all), 4, axis=0)
+    if masses_fn is not None:
+        played, sep = masses_fn(z_all)
+        pl_rp, pl_rm, pl_np, pl_nm = jnp.split(played, 4, axis=0)
+        sp_rp, sp_rm = jnp.split(sep[: 2 * B], 2, axis=0)
+        rd_p = rhythm_density_from_masses(pl_rp, sp_rp, faithful_batch0)
+        rd_m = rhythm_density_from_masses(pl_rm, sp_rm, faithful_batch0)
+        nd_p = jnp.sum(pl_np, axis=-1)
+        nd_m = jnp.sum(pl_nm, axis=-1)
+    else:
+        lp_rp, lp_rm, lp_np, lp_nm = jnp.split(decode_fn(z_all), 4, axis=0)
+        rd_p = approx_rhythm_density(lp_rp, faithful_batch0)
+        rd_m = approx_rhythm_density(lp_rm, faithful_batch0)
+        nd_p = approx_note_density(lp_np)
+        nd_m = approx_note_density(lp_nm)
 
     def loss_of(a_p, a_m, deltas):
         grad_attr = jnp.squeeze(a_p - a_m) / (2.0 * deltas)
         return jnp.mean(0.5 * grad_attr ** 2 + 0.5 * LOG_2PI)
 
-    l_r = loss_of(approx_rhythm_density(lp_rp, faithful_batch0),
-                  approx_rhythm_density(lp_rm, faithful_batch0), d_r)
-    l_n = loss_of(approx_note_density(lp_np), approx_note_density(lp_nm),
-                  d_n)
-    return l_r, l_n
+    return loss_of(rd_p, rd_m, d_r), loss_of(nd_p, nd_m, d_n)

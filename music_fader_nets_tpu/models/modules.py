@@ -288,6 +288,30 @@ def global_decoder_teacher_nll(p, z: jax.Array, x_oh: jax.Array,
     return -picked
 
 
+def global_decoder_teacher_masses(p, z: jax.Array, x_oh: jax.Array,
+                                  tokens: jax.Array, ranges,
+                                  use_pallas: bool = False):
+    """Per-step masked softmax masses of the teacher-forced decode: a tuple
+    of (B, T) arrays, out_k[b, t] = sum over vocab range_k [lo, hi) of
+    softmax(logits[b, t]) — exactly what the GLSR regularizer consumes from
+    its perturbation decodes (reference trainer_glsr.py:123-139).
+
+    On the TPU kernel path (bare chip or pure-dp mesh) this runs as ONE
+    fused kernel and the (B,T,V) log-prob tensor never exists; elsewhere it
+    falls back to the teacher decode + masked softmax sums (identical
+    numerics: softmax(log_softmax(x)) == softmax(x))."""
+    B, T, V = x_oh.shape
+    if use_pallas and tokens is not None:
+        from music_fader_nets_tpu.ops import pallas_gru
+        if pallas_gru.kernel_dispatch(B)[0] is not None:
+            return pallas_gru.decoder_teacher_fused_masses(p, z, tokens, V,
+                                                           ranges)
+    logp = global_decoder_teacher(p, z, x_oh, use_pallas=use_pallas,
+                                  tokens=tokens)
+    probs = jax.nn.softmax(logp, axis=-1)
+    return tuple(jnp.sum(probs[..., lo:hi], axis=-1) for lo, hi in ranges)
+
+
 def global_decoder_scheduled(p, z: jax.Array, x_oh: jax.Array, rng,
                              eps: float) -> jax.Array:
     """Scheduled-sampling decode: at each step one Bernoulli coin for the

@@ -488,9 +488,12 @@ def _embed_bwd_need(lb, kt, B, H, G, Vp, itemsize):
 
 def _pick_bwd_blocks_embed(L, T, B, H, G, Vp, itemsize):
     budget = 72 * 1024 * 1024
+    # kt=10 measured fastest post-gate-stash (benchmarks/kt_sweep.py, bench
+    # shapes: 3.16ms vs 3.30 at the pre-stash optimum kt=4; kt>=20 regresses
+    # again — grid pipeline starvation)
     kt = _pick_t_block(
         T, lambda k: _embed_bwd_need(1, k, B, H, G, Vp, itemsize) <= budget,
-        prefs=(4, 1))
+        prefs=(10, 4, 1))
     for lb in range(L, 0, -1):
         if L % lb:
             continue
@@ -1073,10 +1076,22 @@ def _ce_from_h2(h2n, tgt, wout_ref, bout_ref, Vp, precision):
     return lse[:, 0] - logit_t, logits, lse, tgt_oh
 
 
-def _dec_fwd_ce_kernel(precision, Vp, stash, tok_ref, tgt_ref, wtok_ref,
-                       prez_ref, whh1_ref, bhh1_ref, wih2_ref, bih2_ref,
-                       whh2_ref, bhh2_ref, h10_ref, wout_ref, bout_ref,
-                       *refs):
+def _mask_masses(logits, ranges):
+    """Per-range softmax probability masses: logits (N, Vp) -> list of (N,)
+    sums of softmax(logits) over each static [lo, hi) vocab range. Ranges
+    are built with iota compares (cheap VPU work, no mask operands)."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    return [jnp.sum(jnp.where((col >= lo) & (col < hi), p, 0.0), axis=-1)
+            for lo, hi in ranges], p
+
+
+def _dec_fwd_ce_kernel(precision, Vp, stash, head, tok_ref, tgt_ref,
+                       wtok_ref, prez_ref, whh1_ref, bhh1_ref, wih2_ref,
+                       bih2_ref, whh2_ref, bhh2_ref, h10_ref, wout_ref,
+                       bout_ref, *refs):
     if stash:
         h1_out, h2_out, ce_out, g41_out, g42_out, h1_c, h2_c = refs
     else:
@@ -1109,13 +1124,22 @@ def _dec_fwd_ce_kernel(precision, Vp, stash, tok_ref, tgt_ref, wtok_ref,
     ) + bhh2_ref[:].astype(F32)
     r2, z2, n2, h2n = _gates_f32(pre2, preh2, h2prev)
 
-    ce, _, _, _ = _ce_from_h2(h2n, tgt_ref[0, 0], wout_ref, bout_ref,
-                              Vp, precision)
     h1_c[:] = h1n
     h2_c[:] = h2n
     h1_out[0] = h1n.astype(h1_out.dtype)
     h2_out[0] = h2n.astype(h2_out.dtype)
-    ce_out[0, 0] = ce.astype(ce_out.dtype)
+    if head == "ce":
+        ce, _, _, _ = _ce_from_h2(h2n, tgt_ref[0, 0], wout_ref, bout_ref,
+                                  Vp, precision)
+        ce_out[0, 0] = ce.astype(ce_out.dtype)
+    else:                                    # head = static vocab ranges
+        logits = jax.lax.dot_general(
+            h2n, wout_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision
+        ) + bout_ref[:].astype(F32)
+        masses, _ = _mask_masses(logits, head)
+        for k, mk in enumerate(masses):
+            ce_out[0, k] = mk.astype(ce_out.dtype)
     if stash:
         # [r, z, n, hn_h] per layer — lets the backward skip all four
         # recompute matmuls (pre1 embed, preh1, pre2, preh2)
@@ -1127,28 +1151,30 @@ def _dec_fwd_ce_kernel(precision, Vp, stash, tok_ref, tgt_ref, wtok_ref,
 
 def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
                        whh2, bhh2, h1_0, w_out, b_out, precision=None,
-                       stash_gates=False):
+                       stash_gates=False, head="ce"):
     T, B = tok_t.shape
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     Vp = w_tok.shape[0]
     dt = w_tok.dtype
+    K = 1 if head == "ce" else len(head)
     res2 = lambda t: (0, 0)
     tok3 = lambda t: (t, 0, 0)
     out_specs = [
         pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, H), tok3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, B), tok3, memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((T, B, H), dt),
                  jax.ShapeDtypeStruct((T, B, H), dt),
-                 jax.ShapeDtypeStruct((T, 1, B), F32)]
+                 jax.ShapeDtypeStruct((T, K, B), F32)]
     if stash_gates:
         g4_spec = pl.BlockSpec((1, B, 4 * H), tok3, memory_space=pltpu.VMEM)
         out_specs += [g4_spec, g4_spec]
         out_shape += [jax.ShapeDtypeStruct((T, B, 4 * H), dt)] * 2
     return pl.pallas_call(
-        functools.partial(_dec_fwd_ce_kernel, precision, Vp, stash_gates),
+        functools.partial(_dec_fwd_ce_kernel, precision, Vp, stash_gates,
+                          head),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
@@ -1192,7 +1218,7 @@ def _pick_dec_t_block(T, B, H, G, Vp, itemsize):
         prefs=(2, 5, 4, 1))
 
 
-def _dec_bwd_ce_kernel(precision, kt, Vp,
+def _dec_bwd_ce_kernel(precision, kt, Vp, head,
                        tok_ref, tgt_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
                        g41_ref, g42_ref, gce_ref,
                        whh1_ref, wih2_ref, whh2_ref, h10_ref,
@@ -1227,13 +1253,26 @@ def _dec_bwd_ce_kernel(precision, kt, Vp,
     h1flat = h1cur.reshape(kt * B, H)
     h2flat = h2cur.reshape(kt * B, H)
 
-    # ---- CE head: independent of the dh chains, fully batched ----
+    # ---- output head (CE or masked-mass): independent of the dh chains,
+    # fully batched over the block ----
     logits = dot(h2flat, wout_ref[:], ((1,), (0,))) + bout_ref[:].astype(F32)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-    tgt_oh = _rows_onehot(tgt_ref[:, 0, :], kt, B, Vp)
-    g_ce = _rows_col(gce_ref[:, 0, :].astype(F32), kt)
-    dlogits = (jnp.exp(logits - lse) - tgt_oh.astype(F32)) * g_ce
+    if head == "ce":
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1,
+                                  keepdims=True))
+        tgt_oh = _rows_onehot(tgt_ref[:, 0, :], kt, B, Vp)
+        g_ce = _rows_col(gce_ref[:, 0, :].astype(F32), kt)
+        dlogits = (jnp.exp(logits - lse) - tgt_oh.astype(F32)) * g_ce
+    else:
+        # d(sum_{v in mask_k} p_v)/dlogit_j = p_j (1[j in mask_k] - mass_k)
+        masses, p = _mask_masses(logits, head)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        acc = jnp.zeros_like(logits)
+        for k, (lo, hi) in enumerate(head):
+            g_k = _rows_col(gce_ref[:, k, :].astype(F32), kt)   # (kt*B, 1)
+            ind = jnp.where((col >= lo) & (col < hi), 1.0, 0.0)
+            acc = acc + g_k * (ind - masses[k][:, None])
+        dlogits = p * acc
     dwout_ref[:] += dot(h2flat, dlogits, ((0,), (0,)))
     dbout_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
     dh2ce = dot(dlogits, wout_ref[:], ((1,), (1,))).reshape(kt, B, H)
@@ -1306,17 +1345,18 @@ def _dec_bwd_ce_kernel(precision, kt, Vp,
 
 def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
                        g_ce, whh1, wih2, whh2, h1_0,
-                       w_out, b_out, Vp, precision=None):
+                       w_out, b_out, Vp, precision=None, head="ce"):
     T, B = tok_t.shape
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
+    K = 1 if head == "ce" else len(head)
     kt = _pick_dec_t_block(T, B, H, G, Vp, h1_seq.dtype.itemsize)
     TB = T // kt
     rev3 = lambda t: (TB - 1 - t, 0, 0)
     prev = lambda t: (jnp.maximum(TB - 2 - t, 0), 0, 0)
     res = lambda t: (0, 0)
     outs = pl.pallas_call(
-        functools.partial(_dec_bwd_ce_kernel, precision, kt, Vp),
+        functools.partial(_dec_bwd_ce_kernel, precision, kt, Vp, head),
         grid=(TB,),
         in_specs=[
             pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
@@ -1327,7 +1367,7 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
             pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, 4 * H), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, 4 * H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, K, B), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res, memory_space=pltpu.VMEM),
@@ -1370,8 +1410,8 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(tok_t[:, None, :], tgt_t[:, None, :], h1_seq, h1_seq, h2_seq, h2_seq,
-      g41_seq, g42_seq, g_ce[:, None, :], whh1, wih2, whh2, h1_0,
-      w_out, b_out[None])
+      g41_seq, g42_seq, g_ce[:, None, :] if head == "ce" else g_ce,
+      whh1, wih2, whh2, h1_0, w_out, b_out[None])
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
      dwout, dbout) = outs
     return (dwtok, dprez, dwhh1, dbhh1[0], dwih2, dbih2[0],
@@ -1418,6 +1458,58 @@ def _dec_nll_vjp_bwd(precision, res, g_ce):
 
 
 _dec_nll_core.defvjp(_dec_nll_vjp_fwd, _dec_nll_vjp_bwd)
+
+
+# --- masked-mass variant (GLSR): same fused decode, but the head emits K
+# per-step masked softmax masses out[t,k,b] = sum_{v in range_k} p(v)
+# instead of the target NLL. The GLSR regularizer only consumes these
+# masses (note-on and time-separator probability per step, reference
+# trainer_glsr.py:123-139), so the (B,T,V) log-prob tensor for its four
+# perturbation decodes never exists in HBM; the backward recomputes logits
+# from the h2 residual and folds d(mass)/dlogits in on-core.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _dec_mask_core(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                   whh2, bhh2, h1_0, wout_bout, ranges, precision=None):
+    w_out, b_out = wout_bout
+    _, _, mk = _dec_fwd_ce_pallas(tok_t, tok_t, w_tok, pre_z, whh1, bhh1,
+                                  wih2, bih2, whh2, bhh2, h1_0,
+                                  w_out, b_out, precision, head=ranges)
+    return mk                                                # (T, K, B)
+
+
+def _dec_mask_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                      whh2, bhh2, h1_0, wout_bout, ranges, precision):
+    w_out, b_out = wout_bout
+    h1_seq, h2_seq, mk, g41, g42 = _dec_fwd_ce_pallas(
+        tok_t, tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
+        h1_0, w_out, b_out, precision, stash_gates=True, head=ranges)
+    return mk, (tok_t, h1_seq, h2_seq, g41, g42, w_tok,
+                pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
+                w_out, b_out)
+
+
+def _dec_mask_vjp_bwd(ranges, precision, res, g_mk):
+    (tok_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z, whh1, bhh1,
+     wih2, bih2, whh2, bhh2, h1_0, w_out, b_out) = res
+    grads = _dec_bwd_ce_pallas(tok_t, tok_t, h1_seq, h2_seq, g41, g42,
+                               g_mk.astype(F32),
+                               whh1, wih2, whh2, h1_0,
+                               w_out, b_out, w_tok.shape[0], precision,
+                               head=ranges)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+     dwout, dbout) = grads
+    return (_float0_like(tok_t),
+            dwtok.astype(w_tok.dtype), dprez.astype(pre_z.dtype),
+            dwhh1.astype(whh1.dtype), dbhh1.astype(bhh1.dtype),
+            dwih2.astype(wih2.dtype), dbih2.astype(bih2.dtype),
+            dwhh2.astype(whh2.dtype), dbhh2.astype(bhh2.dtype),
+            dh10.astype(h1_0.dtype),
+            (dwout.astype(w_out.dtype), dbout.astype(b_out.dtype)))
+
+
+_dec_mask_core.defvjp(_dec_mask_vjp_fwd, _dec_mask_vjp_bwd)
 
 
 # -- dp composition of the CE-fused decoder: tokens/targets and the
@@ -1518,6 +1610,105 @@ def _dec_nll_dp_vjp_bwd(mesh, axis, precision, res, g_ce):
 _dec_nll_core_dp.defvjp(_dec_nll_dp_vjp_fwd, _dec_nll_dp_vjp_bwd)
 
 
+# dp composition of the masked-mass decoder: same sharding recipe as the
+# CE variant; the (T, K, B) masses are batch-sharded on their LAST axis.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _dec_mask_core_dp(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                      whh2, bhh2, h1_0, wout_bout, ranges, mesh,
+                      axis="data", precision=None):
+    from jax.sharding import PartitionSpec as P
+    tk, mk3, bb, rep = (P(None, axis), P(None, None, axis), P(axis, None),
+                        P())
+    w_out, b_out = wout_bout
+
+    def body(tok_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
+             bhh2_, h10_, wout_, bout_):
+        _, _, mk = _dec_fwd_ce_pallas(tok_, tok_, wtok_, prez_, whh1_,
+                                      bhh1_, wih2_, bih2_, whh2_, bhh2_,
+                                      h10_, wout_, bout_, precision,
+                                      head=ranges)
+        return mk
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, rep, bb, rep, rep, rep, rep, rep,
+                                rep, bb, rep, rep),
+                      out_specs=mk3, check_vma=False)
+    return f(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
+             h1_0, w_out, b_out)
+
+
+def _dec_mask_dp_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
+                         whh2, bhh2, h1_0, wout_bout, ranges, mesh, axis,
+                         precision):
+    from jax.sharding import PartitionSpec as P
+    tk, mk3, b4, bb, rep = (P(None, axis), P(None, None, axis),
+                            P(None, axis, None), P(axis, None), P())
+    w_out, b_out = wout_bout
+
+    def body(tok_, wtok_, prez_, whh1_, bhh1_, wih2_, bih2_, whh2_,
+             bhh2_, h10_, wout_, bout_):
+        return _dec_fwd_ce_pallas(tok_, tok_, wtok_, prez_, whh1_, bhh1_,
+                                  wih2_, bih2_, whh2_, bhh2_, h10_,
+                                  wout_, bout_, precision,
+                                  stash_gates=True, head=ranges)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, rep, bb, rep, rep, rep, rep, rep,
+                                rep, bb, rep, rep),
+                      out_specs=(b4, b4, mk3, b4, b4), check_vma=False)
+    h1_seq, h2_seq, mk, g41, g42 = f(tok_t, w_tok, pre_z, whh1, bhh1,
+                                     wih2, bih2, whh2, bhh2, h1_0,
+                                     w_out, b_out)
+    return mk, (tok_t, h1_seq, h2_seq, g41, g42, w_tok, whh1,
+                wih2, whh2, h1_0, w_out, b_out, pre_z, bhh1, bih2, bhh2)
+
+
+def _dec_mask_dp_vjp_bwd(ranges, mesh, axis, precision, res, g_mk):
+    (tok_t, h1_seq, h2_seq, g41, g42, w_tok, whh1,
+     wih2, whh2, h1_0, w_out, b_out, pre_z, bhh1, bih2, bhh2) = res
+    from jax.sharding import PartitionSpec as P
+    tk, mk3, b4, bb, rep = (P(None, axis), P(None, None, axis),
+                            P(None, axis, None), P(axis, None), P())
+    Vp = w_tok.shape[0]
+
+    def body(tok_, h1s_, h2s_, g41_, g42_, g_, whh1_, wih2_,
+             whh2_, h10_, wout_, bout_):
+        out = _dec_bwd_ce_pallas(tok_, tok_, h1s_, h2s_, g41_, g42_, g_,
+                                 whh1_, wih2_, whh2_,
+                                 h10_, wout_, bout_, Vp, precision,
+                                 head=ranges)
+        (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+         dwout, dbout) = out
+        return (jax.lax.psum(dwtok, axis), dprez,
+                jax.lax.psum(dwhh1, axis), jax.lax.psum(dbhh1, axis),
+                jax.lax.psum(dwih2, axis), jax.lax.psum(dbih2, axis),
+                jax.lax.psum(dwhh2, axis), jax.lax.psum(dbhh2, axis), dh10,
+                jax.lax.psum(dwout, axis), jax.lax.psum(dbout, axis))
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, b4, b4, b4, b4, mk3, rep, rep,
+                                rep, bb, rep, rep),
+                      out_specs=(rep, bb, rep, rep, rep, rep, rep, rep, bb,
+                                 rep, rep),
+                      check_vma=False)
+    (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
+     dwout, dbout) = f(tok_t, h1_seq, h2_seq, g41, g42,
+                       g_mk.astype(F32),
+                       whh1, wih2, whh2, h1_0, w_out, b_out)
+    return (_float0_like(tok_t),
+            dwtok.astype(w_tok.dtype), dprez.astype(pre_z.dtype),
+            dwhh1.astype(whh1.dtype), dbhh1.astype(bhh1.dtype),
+            dwih2.astype(wih2.dtype), dbih2.astype(bih2.dtype),
+            dwhh2.astype(whh2.dtype), dbhh2.astype(bhh2.dtype),
+            dh10.astype(h1_0.dtype),
+            (dwout.astype(w_out.dtype), dbout.astype(b_out.dtype)))
+
+
+_dec_mask_core_dp.defvjp(_dec_mask_dp_vjp_fwd, _dec_mask_dp_vjp_bwd)
+
+
 def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     """Teacher decode + CE in one kernel: returns per-position NLL (B, T)
     (= -log_softmax(logits)[target], nll_mean semantics before the mean —
@@ -1551,6 +1742,46 @@ def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     else:
         ce_tb = _dec_nll_core(*args, precision)
     return jnp.swapaxes(ce_tb, 0, 1)                          # (B, T)
+
+
+def decoder_teacher_fused_masses(p: dict, z, tokens, V: int,
+                                 ranges, precision=None):
+    """Teacher decode + masked softmax masses in one kernel: returns a
+    tuple of (B, T) arrays, one per static vocab range [lo, hi) in
+    `ranges` — out_k[b, t] = sum_{v in range_k} softmax(logits[b, t])_v.
+    This is all the GLSR regularizer needs from its four perturbation
+    decodes (note-on and time-separator probability mass per step,
+    reference trainer_glsr.py:123-139), so the (B, T, V) log-prob tensor
+    never exists. Valid when `kernel_dispatch(B)[0]` is not None."""
+    B, T = tokens.shape
+    ranges = tuple(tuple(r) for r in ranges)
+    w_ih = p["grucell_g"]["w_ih"]
+    Vp = ((V + 127) // 128) * 128
+    w_tok = jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0)))
+    w_z = w_ih[V:]
+    pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
+    start = jnp.full((B, 1), V - 1, jnp.int32)
+    tok_t = jnp.swapaxes(
+        jnp.concatenate([start, tokens[:, :-1].astype(jnp.int32)], axis=1),
+        0, 1)
+    w_out = jnp.pad(p["linear_out_g"]["w"], ((0, 0), (0, Vp - V)))
+    b_out = jnp.pad(p["linear_out_g"]["b"], (0, Vp - V),
+                    constant_values=-1e30)
+    args = (tok_t, w_tok, pre_z.astype(w_tok.dtype),
+            p["grucell_g"]["w_hh"], p["grucell_g"]["b_hh"],
+            p["grucell_g_2"]["w_ih"], p["grucell_g_2"]["b_ih"],
+            p["grucell_g_2"]["w_hh"], p["grucell_g_2"]["b_hh"],
+            h1_0.astype(w_tok.dtype), (w_out, b_out))
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    kind, mesh = kernel_dispatch(B)
+    if kind == "dp":
+        mk = _dec_mask_core_dp(*args, ranges, mesh, mesh_lib.DATA_AXIS,
+                               precision)
+    else:
+        mk = _dec_mask_core(*args, ranges, precision)
+    return tuple(jnp.swapaxes(mk[:, k, :], 0, 1)              # (B, T) each
+                 for k in range(len(ranges)))
 
 
 def _dec_dp_specs(axis):

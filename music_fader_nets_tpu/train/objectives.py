@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.losses.elbo import anneal_beta, kl_std_normal, nll_mean
 from music_fader_nets_tpu.losses.regularizers import (
+    GLSR_MASK_RANGES,
     adversarial_fader_loss,
     glsr_regularizer,
     gmm_supervised_kl,
@@ -29,7 +30,10 @@ from music_fader_nets_tpu.losses.regularizers import (
     pati_regularizer,
 )
 from music_fader_nets_tpu.models import gmvae, vae
-from music_fader_nets_tpu.models.modules import global_decoder_teacher
+from music_fader_nets_tpu.models.modules import (
+    global_decoder_teacher,
+    global_decoder_teacher_masses,
+)
 from music_fader_nets_tpu.models.vae import _global_view
 
 Metrics = Dict[str, jax.Array]
@@ -180,19 +184,33 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     steps = min(cfg.eval_decode_steps, x_oh.shape[1])
     gview = _global_view(params)
 
-    def decode_fn(z_full):
+    def _teacher_inputs(z_full):
         # glsr_regularizer stacks its 4 perturbations on the batch axis —
         # tile the teacher inputs to match
         n_rep = z_full.shape[0] // x_oh.shape[0]
         xo = jnp.tile(x_oh[:, :steps], (n_rep, 1, 1))
         toks = jnp.tile(batch["x"][:, :steps], (n_rep, 1))
+        return xo, toks
+
+    def decode_fn(z_full):
+        xo, toks = _teacher_inputs(z_full)
         return global_decoder_teacher(gview, z_full, xo,
                                       use_pallas=cfg.use_pallas_gru,
                                       tokens=toks)
 
+    def masses_fn(z_full):
+        # the soft attributes only need note-on / time-separator probability
+        # masses — on the TPU kernel path the fused masked-mass decoder
+        # emits them directly and the (4B, T, V) log-probs never exist
+        xo, toks = _teacher_inputs(z_full)
+        return global_decoder_teacher_masses(gview, z_full, xo, toks,
+                                             GLSR_MASK_RANGES,
+                                             use_pallas=cfg.use_pallas_gru)
+
     l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
                                 rng_glsr,
-                                faithful_batch0=cfg.faithful_glsr_batch0)
+                                faithful_batch0=cfg.faithful_glsr_batch0,
+                                masses_fn=masses_fn)
     gate = (step > 20).astype(l_r.dtype)
     loss = ce + beta0 * kld + gate * (l_r + l_n)
     return loss, {"loss": loss, "CE_X": ce_x, "CE_R": ce_r, "CE_N": ce_n,

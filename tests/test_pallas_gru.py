@@ -509,3 +509,117 @@ def test_fused_nll_path_activates(monkeypatch):
     loss, _ = gmm_loss(p, key, batch, jnp.asarray(0), cfg)
     assert calls, "gmm_loss did not reach decoder_teacher_fused_nll"
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# masked-mass fused decoder (GLSR path)
+# ---------------------------------------------------------------------------
+
+_RANGES = ((2, 5), (6, 9))        # toy vocab (V=11) stand-ins for the GLSR
+                                  # note-on / time-separator ranges
+
+
+def test_fused_masses_match_scan():
+    from music_fader_nets_tpu.models.modules import (
+        global_decoder_teacher_masses)
+    p, z, tok, x_oh = _dec_case(seed=12)
+    ref = global_decoder_teacher_masses(p, z, x_oh, None, _RANGES,
+                                        use_pallas=False)
+    got = global_decoder_teacher_masses(p, z, x_oh, tok, _RANGES,
+                                        use_pallas=True)
+    assert len(got) == 2 and got[0].shape == ref[0].shape
+    for a, b_ in zip(got, ref):
+        np.testing.assert_allclose(a, b_, atol=1e-6)
+
+
+def test_fused_masses_gradients_match_scan():
+    from music_fader_nets_tpu.models.modules import (
+        global_decoder_teacher_masses)
+    p, z, tok, x_oh = _dec_case(B=3, T=8, seed=13)
+    w_pl = jax.random.normal(jax.random.PRNGKey(14), (3, 8))
+    w_sp = jax.random.normal(jax.random.PRNGKey(15), (3, 8))
+
+    def loss(p, z, use_pallas):
+        played, sep = global_decoder_teacher_masses(
+            p, z, x_oh, tok if use_pallas else None, _RANGES,
+            use_pallas=use_pallas)
+        return jnp.sum(played * w_pl) + jnp.sum(jnp.tanh(sep) * w_sp)
+
+    g_ref = jax.grad(lambda p, z: loss(p, z, False), argnums=(0, 1))(p, z)
+    g_pal = jax.grad(lambda p, z: loss(p, z, True), argnums=(0, 1))(p, z)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b_) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3,
+                                   err_msg=str(path))
+
+
+def test_fused_masses_dp_matches_single():
+    from music_fader_nets_tpu.models.modules import (
+        global_decoder_teacher_masses)
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    p, z, tok, x_oh = _dec_case(B=16, T=6, seed=16)
+    mesh = mesh_lib.make_mesh(8, 1)
+
+    def loss(in_mesh):
+        def f(p, z):
+            with mesh_lib.trace_mesh_scope(in_mesh):
+                played, sep = global_decoder_teacher_masses(
+                    p, z, x_oh, tok, _RANGES, use_pallas=True)
+            return jnp.sum(played ** 2) + jnp.sum(sep)
+        return f
+
+    v1 = loss(None)(p, z)
+    v8 = loss(mesh)(p, z)
+    np.testing.assert_allclose(v8, v1, atol=1e-6)
+    g1 = jax.grad(loss(None), argnums=(0, 1))(p, z)
+    g8 = jax.grad(loss(mesh), argnums=(0, 1))(p, z)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
+
+
+def test_glsr_loss_and_grads_match(monkeypatch):
+    """glsr_loss with the masked-mass fused decoder equals the scan path in
+    value AND parameter gradients (the GLSR perturbation decodes are the
+    consumers of decoder_teacher_fused_masses)."""
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+    from music_fader_nets_tpu.ops import pallas_gru
+    from music_fader_nets_tpu.train.objectives import glsr_loss
+
+    calls = []
+    orig = pallas_gru.decoder_teacher_fused_masses
+    monkeypatch.setattr(pallas_gru, "decoder_teacher_fused_masses",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    cfg_scan = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4)
+    cfg_pal = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4,
+                          use_pallas_gru=True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    key = jax.random.PRNGKey(5)
+    p = models.init_reg_vae(key, cfg_scan)
+    B = 4
+    ks = jax.random.split(key, 6)
+    batch = {
+        "x": jax.random.randint(ks[0], (B, 12), 0, 342),
+        "r": jax.random.randint(ks[1], (B, 4), 0, 3),
+        "n": jax.random.randint(ks[2], (B, 4), 0, 16),
+        "c": jax.random.uniform(ks[3], (B, 24)),
+        "r_density": jax.random.uniform(ks[4], (B,)),
+        "n_density": jax.random.uniform(ks[5], (B,)),
+    }
+    step = jnp.asarray(100, jnp.int32)      # past the step>20 GLSR gate
+
+    def loss(p, cfg):
+        return glsr_loss(p, key, batch, step, cfg)[0]
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, cfg_scan))(p)
+    l_pal, g_pal = jax.value_and_grad(lambda p: loss(p, cfg_pal))(p)
+    assert calls, "glsr_loss did not reach decoder_teacher_fused_masses"
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b_) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(b_, a, atol=3e-4, rtol=2e-3,
+                                   err_msg=str(path))
