@@ -290,7 +290,8 @@ def global_decoder_teacher_nll(p, z: jax.Array, x_oh: jax.Array,
 
 def global_decoder_teacher_masses(p, z: jax.Array, x_oh: jax.Array,
                                   tokens: jax.Array, ranges,
-                                  use_pallas: bool = False):
+                                  use_pallas: bool = False,
+                                  n_rep: int = 1):
     """Per-step masked softmax masses of the teacher-forced decode: a tuple
     of (B, T) arrays, out_k[b, t] = sum over vocab range_k [lo, hi) of
     softmax(logits[b, t]) — exactly what the GLSR regularizer consumes from
@@ -299,13 +300,21 @@ def global_decoder_teacher_masses(p, z: jax.Array, x_oh: jax.Array,
     On the TPU kernel path (bare chip or pure-dp mesh) this runs as ONE
     fused kernel and the (B,T,V) log-prob tensor never exists; elsewhere it
     falls back to the teacher decode + masked softmax sums (identical
-    numerics: softmax(log_softmax(x)) == softmax(x))."""
-    B, T, V = x_oh.shape
+    numerics: softmax(log_softmax(x)) == softmax(x)).
+
+    n_rep > 1 declares that `z` stacks n_rep batch copies sharing the SAME
+    teacher inputs (`x_oh`/`tokens` then have z.shape[0]/n_rep rows) — the
+    kernel embeds the shared tokens once per step; the fallback just tiles
+    them."""
+    B0, T, V = x_oh.shape
     if use_pallas and tokens is not None:
         from music_fader_nets_tpu.ops import pallas_gru
-        if pallas_gru.kernel_dispatch(B)[0] is not None:
-            return pallas_gru.decoder_teacher_fused_masses(p, z, tokens, V,
-                                                           ranges)
+        if pallas_gru.kernel_dispatch(z.shape[0])[0] is not None:
+            return pallas_gru.decoder_teacher_fused_masses(
+                p, z, tokens, V, ranges, n_rep=n_rep)
+    if n_rep > 1:
+        x_oh = jnp.tile(x_oh, (n_rep, 1, 1))
+        tokens = None if tokens is None else jnp.tile(tokens, (n_rep, 1))
     logp = global_decoder_teacher(p, z, x_oh, use_pallas=use_pallas,
                                   tokens=tokens)
     probs = jax.nn.softmax(logp, axis=-1)

@@ -1088,7 +1088,7 @@ def _mask_masses(logits, ranges):
             for lo, hi in ranges], p
 
 
-def _dec_fwd_ce_kernel(precision, Vp, stash, head, tok_ref, tgt_ref,
+def _dec_fwd_ce_kernel(precision, Vp, stash, head, n_rep, tok_ref, tgt_ref,
                        wtok_ref, prez_ref, whh1_ref, bhh1_ref, wih2_ref,
                        bih2_ref, whh2_ref, bhh2_ref, h10_ref, wout_ref,
                        bout_ref, *refs):
@@ -1105,8 +1105,21 @@ def _dec_fwd_ce_kernel(precision, Vp, stash, head, tok_ref, tgt_ref,
 
     H = h1_c.shape[-1]
     h1 = h1_c[:]
-    pre1, _ = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
-                           Vp, precision)
+    if n_rep == 1:
+        pre1, _ = _embed_pre_x(tok_ref[0, 0], wtok_ref[:], prez_ref[:],
+                               Vp, precision)
+    else:
+        # the n_rep batch copies share the teacher tokens (GLSR stacks 4
+        # perturbations of z over the SAME sequence): embed once at B/n_rep
+        # rows and tile — cuts the (B,Vp)@(Vp,G) embed matmul n_rep-fold
+        tok = tok_ref[0, 0]                                    # (B/n_rep,)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tok.shape[0], Vp), 1)
+        onehot = (col == tok[:, None]).astype(wtok_ref.dtype)
+        emb = jax.lax.dot_general(
+            onehot, wtok_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision)
+        pre1 = (jnp.concatenate([emb] * n_rep, axis=0)
+                + prez_ref[:].astype(F32))
     preh1 = jax.lax.dot_general(
         h1, whh1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=F32, precision=precision
@@ -1151,8 +1164,9 @@ def _dec_fwd_ce_kernel(precision, Vp, stash, head, tok_ref, tgt_ref,
 
 def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
                        whh2, bhh2, h1_0, w_out, b_out, precision=None,
-                       stash_gates=False, head="ce"):
-    T, B = tok_t.shape
+                       stash_gates=False, head="ce", n_rep=1):
+    T, B0 = tok_t.shape
+    B = B0 * n_rep                       # batch rows; tokens shared n_rep-fold
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     Vp = w_tok.shape[0]
@@ -1174,11 +1188,11 @@ def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
         out_shape += [jax.ShapeDtypeStruct((T, B, 4 * H), dt)] * 2
     return pl.pallas_call(
         functools.partial(_dec_fwd_ce_kernel, precision, Vp, stash_gates,
-                          head),
+                          head, n_rep),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), tok3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B0), tok3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B0), tok3, memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, G), res2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, G), res2, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), res2, memory_space=pltpu.VMEM),
@@ -1218,7 +1232,7 @@ def _pick_dec_t_block(T, B, H, G, Vp, itemsize):
         prefs=(2, 5, 4, 1))
 
 
-def _dec_bwd_ce_kernel(precision, kt, Vp, head,
+def _dec_bwd_ce_kernel(precision, kt, Vp, head, n_rep,
                        tok_ref, tgt_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
                        g41_ref, g42_ref, gce_ref,
                        whh1_ref, wih2_ref, whh2_ref, h10_ref,
@@ -1278,8 +1292,10 @@ def _dec_bwd_ce_kernel(precision, kt, Vp, head,
     dh2ce = dot(dlogits, wout_ref[:], ((1,), (1,))).reshape(kt, B, H)
 
     # ---- gates come from the forward's stash; only the h_prev streams
-    # and the dW_tok onehot are (re)built ----
-    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, whh1_ref.dtype)
+    # and the dW_tok onehot are (re)built (at B/n_rep rows — the n_rep
+    # batch copies share their teacher tokens) ----
+    B0 = B // n_rep
+    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B0, Vp, whh1_ref.dtype)
     g41 = g41_ref[:].astype(F32)                           # (kt, B, 4H)
     g42 = g42_ref[:].astype(F32)
     h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
@@ -1333,7 +1349,17 @@ def _dec_bwd_ce_kernel(precision, kt, Vp, head,
     s1h = s1h_c[:].reshape(kt * B, G)
     s2x = s2x_c[:].reshape(kt * B, G)
     s2h = s2h_c[:].reshape(kt * B, G)
-    dwtok_ref[:] += dot(onehot, s1x, ((0,), (0,)))
+    if n_rep == 1:
+        s1x_tok = s1x
+    else:
+        # fold dpre1 over the n_rep token-sharing copies BEFORE the dW_tok
+        # matmul: onehot is identical per copy, so dW_tok = onehot^T @
+        # (sum over copies) — an n_rep-fold smaller contraction
+        folded = s1x_c[:, 0:B0, :]
+        for c in range(1, n_rep):
+            folded = folded + s1x_c[:, c * B0:(c + 1) * B0, :]
+        s1x_tok = folded.reshape(kt * B0, G)
+    dwtok_ref[:] += dot(onehot, s1x_tok, ((0,), (0,)))
     dprez_ref[:] += jnp.sum(s1x_c[:], axis=0)
     dwhh1_ref[:] += dot(h1prev_blk.reshape(kt * B, H), s1h, ((0,), (0,)))
     dbhh1_ref[:] += jnp.sum(s1h, axis=0, keepdims=True)
@@ -1345,8 +1371,10 @@ def _dec_bwd_ce_kernel(precision, kt, Vp, head,
 
 def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
                        g_ce, whh1, wih2, whh2, h1_0,
-                       w_out, b_out, Vp, precision=None, head="ce"):
-    T, B = tok_t.shape
+                       w_out, b_out, Vp, precision=None, head="ce",
+                       n_rep=1):
+    T, B0 = tok_t.shape
+    B = B0 * n_rep
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     K = 1 if head == "ce" else len(head)
@@ -1356,11 +1384,12 @@ def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
     prev = lambda t: (jnp.maximum(TB - 2 - t, 0), 0, 0)
     res = lambda t: (0, 0)
     outs = pl.pallas_call(
-        functools.partial(_dec_bwd_ce_kernel, precision, kt, Vp, head),
+        functools.partial(_dec_bwd_ce_kernel, precision, kt, Vp, head,
+                          n_rep),
         grid=(TB,),
         in_specs=[
-            pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 1, B), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, B0), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 1, B0), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, B, H), rev3, memory_space=pltpu.VMEM),
@@ -1469,35 +1498,39 @@ _dec_nll_core.defvjp(_dec_nll_vjp_fwd, _dec_nll_vjp_bwd)
 # from the h2 residual and folds d(mass)/dlogits in on-core.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def _dec_mask_core(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
-                   whh2, bhh2, h1_0, wout_bout, ranges, precision=None):
+                   whh2, bhh2, h1_0, wout_bout, ranges, n_rep=1,
+                   precision=None):
     w_out, b_out = wout_bout
     _, _, mk = _dec_fwd_ce_pallas(tok_t, tok_t, w_tok, pre_z, whh1, bhh1,
                                   wih2, bih2, whh2, bhh2, h1_0,
-                                  w_out, b_out, precision, head=ranges)
+                                  w_out, b_out, precision, head=ranges,
+                                  n_rep=n_rep)
     return mk                                                # (T, K, B)
 
 
 def _dec_mask_vjp_fwd(tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
-                      whh2, bhh2, h1_0, wout_bout, ranges, precision):
+                      whh2, bhh2, h1_0, wout_bout, ranges, n_rep,
+                      precision):
     w_out, b_out = wout_bout
     h1_seq, h2_seq, mk, g41, g42 = _dec_fwd_ce_pallas(
         tok_t, tok_t, w_tok, pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2,
-        h1_0, w_out, b_out, precision, stash_gates=True, head=ranges)
+        h1_0, w_out, b_out, precision, stash_gates=True, head=ranges,
+        n_rep=n_rep)
     return mk, (tok_t, h1_seq, h2_seq, g41, g42, w_tok,
                 pre_z, whh1, bhh1, wih2, bih2, whh2, bhh2, h1_0,
                 w_out, b_out)
 
 
-def _dec_mask_vjp_bwd(ranges, precision, res, g_mk):
+def _dec_mask_vjp_bwd(ranges, n_rep, precision, res, g_mk):
     (tok_t, h1_seq, h2_seq, g41, g42, w_tok, pre_z, whh1, bhh1,
      wih2, bih2, whh2, bhh2, h1_0, w_out, b_out) = res
     grads = _dec_bwd_ce_pallas(tok_t, tok_t, h1_seq, h2_seq, g41, g42,
                                g_mk.astype(F32),
                                whh1, wih2, whh2, h1_0,
                                w_out, b_out, w_tok.shape[0], precision,
-                               head=ranges)
+                               head=ranges, n_rep=n_rep)
     (dwtok, dprez, dwhh1, dbhh1, dwih2, dbih2, dwhh2, dbhh2, dh10,
      dwout, dbout) = grads
     return (_float0_like(tok_t),
@@ -1745,15 +1778,23 @@ def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
 
 
 def decoder_teacher_fused_masses(p: dict, z, tokens, V: int,
-                                 ranges, precision=None):
+                                 ranges, precision=None, n_rep: int = 1):
     """Teacher decode + masked softmax masses in one kernel: returns a
     tuple of (B, T) arrays, one per static vocab range [lo, hi) in
     `ranges` — out_k[b, t] = sum_{v in range_k} softmax(logits[b, t])_v.
     This is all the GLSR regularizer needs from its four perturbation
     decodes (note-on and time-separator probability mass per step,
     reference trainer_glsr.py:123-139), so the (B, T, V) log-prob tensor
-    never exists. Valid when `kernel_dispatch(B)[0]` is not None."""
-    B, T = tokens.shape
+    never exists. Valid when `kernel_dispatch(B)[0]` is not None.
+
+    n_rep > 1: `z` holds n_rep stacked batch copies that SHARE the teacher
+    tokens (`tokens` has B/n_rep rows, z has B) — GLSR's four z
+    perturbations over one sequence batch. The kernel embeds the tokens
+    once per step and folds dW_tok over the copies (n_rep-fold smaller
+    embedding matmuls)."""
+    B = z.shape[0]
+    B0, T = tokens.shape
+    assert B0 * n_rep == B, (B0, n_rep, B)
     ranges = tuple(tuple(r) for r in ranges)
     w_ih = p["grucell_g"]["w_ih"]
     Vp = ((V + 127) // 128) * 128
@@ -1761,25 +1802,30 @@ def decoder_teacher_fused_masses(p: dict, z, tokens, V: int,
     w_z = w_ih[V:]
     pre_z = z @ w_z + p["grucell_g"]["b_ih"]
     h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
-    start = jnp.full((B, 1), V - 1, jnp.int32)
+    start = jnp.full((B0, 1), V - 1, jnp.int32)
     tok_t = jnp.swapaxes(
         jnp.concatenate([start, tokens[:, :-1].astype(jnp.int32)], axis=1),
-        0, 1)
+        0, 1)                                                 # (T, B0)
     w_out = jnp.pad(p["linear_out_g"]["w"], ((0, 0), (0, Vp - V)))
     b_out = jnp.pad(p["linear_out_g"]["b"], (0, Vp - V),
                     constant_values=-1e30)
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    kind, mesh = kernel_dispatch(B)
+    if kind == "dp" and n_rep > 1:
+        # batch-sharding interleaves the copies across devices, so the
+        # shared-token folding doesn't compose with dp — tile the tokens
+        # back to the full batch instead (correctness identical)
+        tok_t = jnp.tile(tok_t, (1, n_rep))
     args = (tok_t, w_tok, pre_z.astype(w_tok.dtype),
             p["grucell_g"]["w_hh"], p["grucell_g"]["b_hh"],
             p["grucell_g_2"]["w_ih"], p["grucell_g_2"]["b_ih"],
             p["grucell_g_2"]["w_hh"], p["grucell_g_2"]["b_hh"],
             h1_0.astype(w_tok.dtype), (w_out, b_out))
-    from music_fader_nets_tpu.parallel import mesh as mesh_lib
-    kind, mesh = kernel_dispatch(B)
     if kind == "dp":
         mk = _dec_mask_core_dp(*args, ranges, mesh, mesh_lib.DATA_AXIS,
                                precision)
     else:
-        mk = _dec_mask_core(*args, ranges, precision)
+        mk = _dec_mask_core(*args, ranges, n_rep, precision)
     return tuple(jnp.swapaxes(mk[:, k, :], 0, 1)              # (B, T) each
                  for k in range(len(ranges)))
 

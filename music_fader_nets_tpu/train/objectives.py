@@ -201,11 +201,16 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     def masses_fn(z_full):
         # the soft attributes only need note-on / time-separator probability
         # masses — on the TPU kernel path the fused masked-mass decoder
-        # emits them directly and the (4B, T, V) log-probs never exist
-        xo, toks = _teacher_inputs(z_full)
-        return global_decoder_teacher_masses(gview, z_full, xo, toks,
+        # emits them directly and the (4B, T, V) log-probs never exist; the
+        # 4 perturbation copies share their teacher tokens (n_rep), so the
+        # kernel embeds them once per step
+        n_rep = z_full.shape[0] // x_oh.shape[0]
+        return global_decoder_teacher_masses(gview, z_full,
+                                             x_oh[:, :steps],
+                                             batch["x"][:, :steps],
                                              GLSR_MASK_RANGES,
-                                             use_pallas=cfg.use_pallas_gru)
+                                             use_pallas=cfg.use_pallas_gru,
+                                             n_rep=n_rep)
 
     l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
                                 rng_glsr,

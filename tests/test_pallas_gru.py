@@ -623,3 +623,36 @@ def test_glsr_loss_and_grads_match(monkeypatch):
     for (path, a), (_, b_) in zip(flat_r, flat_p):
         np.testing.assert_allclose(b_, a, atol=3e-4, rtol=2e-3,
                                    err_msg=str(path))
+
+
+def test_fused_masses_shared_tokens_n_rep():
+    """n_rep>1 (GLSR's 4 z-perturbations over one sequence batch): the
+    shared-token kernel path equals tiling the tokens explicitly, in value
+    AND gradients (incl. the folded dW_tok accumulation)."""
+    from music_fader_nets_tpu.models.modules import (
+        global_decoder_teacher_masses)
+    p, z0, tok, x_oh = _dec_case(B=3, T=8, seed=17)
+    z = jnp.concatenate([z0, z0 * 0.5 + 0.1, -z0, z0 + 0.3], axis=0)
+    tok4 = jnp.tile(tok, (4, 1))
+    x4 = jnp.tile(x_oh, (4, 1, 1))
+    w = jax.random.normal(jax.random.PRNGKey(18), (12, 8))
+
+    def loss(p, z, n_rep):
+        if n_rep == 1:
+            played, sep = global_decoder_teacher_masses(
+                p, z, x4, tok4, _RANGES, use_pallas=True)
+        else:
+            played, sep = global_decoder_teacher_masses(
+                p, z, x_oh, tok, _RANGES, use_pallas=True, n_rep=n_rep)
+        return jnp.sum(played * w) + jnp.sum(sep ** 2)
+
+    v1 = loss(p, z, 1)
+    v4 = loss(p, z, 4)
+    np.testing.assert_allclose(v4, v1, atol=1e-6)
+    g1 = jax.grad(loss, argnums=(0, 1))(p, z, 1)
+    g4 = jax.grad(loss, argnums=(0, 1))(p, z, 4)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    flat4, _ = jax.tree_util.tree_flatten_with_path(g4)
+    for (path, a), (_, b_) in zip(flat1, flat4):
+        np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4,
+                                   err_msg=str(path))
