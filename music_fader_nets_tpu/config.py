@@ -79,6 +79,12 @@ class ModelConfig:
     # runs (the synthetic demo trains ~1600 steps) apply NO KL at all —
     # this knob lets the demo actually exercise KL pressure.
     kl_warmup_steps: int = 0
+    # free_bits > 0 floors each latent dimension's KL at this many nats
+    # before averaging (Kingma et al. 2016 "free bits"): KL pressure stops
+    # collapsing dims that already encode less than the floor. Applied to
+    # the N(0,1) KL of the vanilla/glsr/cvae/fader/singlevae ELBOs and to
+    # the GM-VAE component KLs. 0 = off (reference behavior).
+    free_bits: float = 0.0
 
     @property
     def ce_x_weight(self) -> float:

@@ -39,10 +39,18 @@ def nll_mean(log_probs: jax.Array, targets: jax.Array) -> jax.Array:
     return -jnp.mean(picked)
 
 
-def kl_std_normal(mu: jax.Array, std: jax.Array) -> jax.Array:
+def kl_std_normal(mu: jax.Array, std: jax.Array,
+                  free_bits: float = 0.0) -> jax.Array:
     """mean KL( N(mu, std) || N(0, 1) ) over every element, matching
-    `kl_divergence(dis, std_normal).mean()` (reference trainer.py:107-112)."""
+    `kl_divergence(dis, std_normal).mean()` (reference trainer.py:107-112).
+
+    free_bits > 0 floors each element's KL at that many nats before the
+    mean (Kingma et al. 2016): dims already below the floor feel no KL
+    pressure, which protects the attribute-regularized dims from collapse.
+    A repo extension (ModelConfig.free_bits); 0 = reference behavior."""
     kl = -jnp.log(std) + 0.5 * (std ** 2 + mu ** 2) - 0.5
+    if free_bits > 0.0:
+        kl = jnp.maximum(kl, free_bits)
     return jnp.mean(kl)
 
 

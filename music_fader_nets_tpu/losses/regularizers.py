@@ -54,7 +54,8 @@ def adversarial_fader_loss(step, disc_out: jax.Array, density: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def gmm_unsupervised_kl(mu, std, qy_x, log_logit, mu_lookup, logvar_lookup
+def gmm_unsupervised_kl(mu, std, qy_x, log_logit, mu_lookup, logvar_lookup,
+                        free_bits: float = 0.0
                         ) -> Tuple[jax.Array, jax.Array]:
     """Unsupervised branch: sum_k qy_x[:,k] * KL[q(z|x) || p(z|k)]
     plus KL[q(y|x) || Uniform] (reference trainer_gmm.py:150-178).
@@ -72,6 +73,8 @@ def gmm_unsupervised_kl(mu, std, qy_x, log_logit, mu_lookup, logvar_lookup
     std_p = jnp.exp(logvar)
     kl = kl_diag_gaussians(mu[:, None, :], std[:, None, :],
                            mu_p[None], std_p[None])   # (B, K, D)
+    if free_bits > 0.0:                               # per-dim floor (nats)
+        kl = jnp.maximum(kl, free_bits)
     kl = jnp.mean(kl, axis=-1)                        # per-sample mean over D
     kld_lat = jnp.sum(jnp.mean(kl * qy_x, axis=0))    # weight, batch-mean, sum K
 
@@ -81,7 +84,8 @@ def gmm_unsupervised_kl(mu, std, qy_x, log_logit, mu_lookup, logvar_lookup
     return kld_lat, kld_cls
 
 
-def gmm_supervised_kl(mu, std, y_label, qy_x, mu_lookup, logvar_lookup
+def gmm_supervised_kl(mu, std, y_label, qy_x, mu_lookup, logvar_lookup,
+                      free_bits: float = 0.0
                       ) -> Tuple[jax.Array, jax.Array]:
     """Supervised branch: KL[q(z|x) || p(z|y_label)] + CE(qy_x, y)
     (reference trainer_gmm.py:180-194). NB the reference feeds the *softmax
@@ -91,6 +95,8 @@ def gmm_supervised_kl(mu, std, y_label, qy_x, mu_lookup, logvar_lookup
     mu_p = mu_lookup[y_label]                          # (B, D)
     std_p = jnp.exp(logvar)[y_label]
     kl = kl_diag_gaussians(mu, std, mu_p, std_p)
+    if free_bits > 0.0:
+        kl = jnp.maximum(kl, free_bits)
     kld_lat = jnp.mean(jnp.mean(kl, axis=-1))
 
     log_q = jax.nn.log_softmax(qy_x, axis=-1)          # double-softmax quirk

@@ -92,6 +92,11 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                          "0->beta warmup over N steps (the reference "
                          "schedule applies NO KL before step 10000, so "
                          "short runs train with beta=0 throughout)")
+    ap.add_argument("--free-bits", type=float, default=None,
+                    help="floor each latent dim's KL at this many nats "
+                         "before averaging (Kingma et al. free bits): "
+                         "protects the attribute-regularized dims from "
+                         "KL collapse; 0/unset = reference behavior")
     ap.add_argument("--fixed-quirks", action="store_true",
                     help="disable faithful replication of reference quirks "
                          "(negative-beta window, time-axis sub-decoder "
@@ -135,6 +140,8 @@ def config_from_args(kind: str, args) -> ModelConfig:
                          faithful_glsr_batch0=False)
     if getattr(args, "kl_warmup", None) is not None:
         overrides["kl_warmup_steps"] = args.kl_warmup
+    if getattr(args, "free_bits", None) is not None:
+        overrides["free_bits"] = args.free_bits
     cfg = load_config(path, **overrides)
     return cfg
 

@@ -97,8 +97,8 @@ def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
-    kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
-           + kl_std_normal(fwd["mu_n"], fwd["std_n"]))
+    kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"], cfg.free_bits)
+           + kl_std_normal(fwd["mu_n"], fwd["std_n"], cfg.free_bits))
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
                          cfg.kl_warmup_steps)
     l_r = pati_regularizer(fwd["z_r"][:, 0], batch["r_density"])
@@ -130,20 +130,24 @@ def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
     if not is_supervised:
         kld_lat_r, kld_cls_r = gmm_unsupervised_kl(
             fwd["mu_r"], fwd["std_r"], fwd["qy_x_r"], fwd["log_logit_r"],
-            params["mu_r_lookup"], params["logvar_r_lookup"])
+            params["mu_r_lookup"], params["logvar_r_lookup"],
+            cfg.free_bits)
         kld_lat_n, kld_cls_n = gmm_unsupervised_kl(
             fwd["mu_n"], fwd["std_n"], fwd["qy_x_n"], fwd["log_logit_n"],
-            params["mu_n_lookup"], params["logvar_n_lookup"])
+            params["mu_n_lookup"], params["logvar_n_lookup"],
+            cfg.free_bits)
         loss = ce + beta0 * (kld_lat_r + kld_lat_n + kld_cls_r + kld_cls_n)
         clf = jnp.zeros(())
     else:
         y = batch["a"].astype(jnp.int32)
         kld_lat_r, clf_r = gmm_supervised_kl(
             fwd["mu_r"], fwd["std_r"], y, fwd["qy_x_r"],
-            params["mu_r_lookup"], params["logvar_r_lookup"])
+            params["mu_r_lookup"], params["logvar_r_lookup"],
+            cfg.free_bits)
         kld_lat_n, clf_n = gmm_supervised_kl(
             fwd["mu_n"], fwd["std_n"], y, fwd["qy_x_n"],
-            params["mu_n_lookup"], params["logvar_n_lookup"])
+            params["mu_n_lookup"], params["logvar_n_lookup"],
+            cfg.free_bits)
         kld_cls_r = kld_cls_n = jnp.zeros(())
         clf = clf_r + clf_n
         loss = ce + beta0 * (kld_lat_r + kld_lat_n) + clf
@@ -176,8 +180,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
                               nll_targets=batch["x"])
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
-    kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"])
-           + kl_std_normal(fwd["mu_n"], fwd["std_n"]))
+    kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"], cfg.free_bits)
+           + kl_std_normal(fwd["mu_n"], fwd["std_n"], cfg.free_bits))
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
                          cfg.kl_warmup_steps)
 
@@ -237,7 +241,7 @@ def cvae_loss(params, rng, batch, step, cfg: ModelConfig,
                            nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = _ce_x(fwd, batch)
-    kld = kl_std_normal(fwd["mu"], fwd["std"])
+    kld = kl_std_normal(fwd["mu"], fwd["std"], cfg.free_bits)
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
                          cfg.kl_warmup_steps)
     loss = ce_x + beta0 * kld
@@ -260,7 +264,7 @@ def fader_loss(params, rng, batch, step, cfg: ModelConfig,
                             nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = _ce_x(fwd, batch)
-    kld = kl_std_normal(fwd["mu"], fwd["std"])
+    kld = kl_std_normal(fwd["mu"], fwd["std"], cfg.free_bits)
     beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
                          cfg.kl_warmup_steps)
     l_adv_r = adversarial_fader_loss(step, fwd["disc_r"],
@@ -287,7 +291,7 @@ def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
                                  nll_targets=batch["x"])
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x = _ce_x(fwd, batch)
-    kld = kl_std_normal(fwd["mu"], fwd["std"])
+    kld = kl_std_normal(fwd["mu"], fwd["std"], cfg.free_bits)
     l_r = pati_regularizer(fwd["z"][:, 0], batch["r_density"])
     l_n = pati_regularizer(fwd["z"][:, 1], batch["n_density"])
     loss = cfg.ce_x_weight * ce_x + cfg.beta * kld + l_r + l_n

@@ -181,3 +181,60 @@ def test_glsr_soft_attributes():
     rd_ref = np.array([ref_rd(b) for b in range(B)])
     got = approx_rhythm_density(logp, faithful_batch0=True)
     np.testing.assert_allclose(got, rd_ref, rtol=1e-4)
+
+
+def test_free_bits_floor():
+    """free_bits floors each dim's KL before the mean: dims below the floor
+    contribute exactly free_bits and feel no gradient; dims above are
+    untouched; free_bits=0 is the reference behavior bit-for-bit."""
+    from music_fader_nets_tpu.losses.elbo import kl_std_normal
+    mu = jnp.array([[0.0, 3.0]])          # dim0 KL = 0, dim1 KL = 4.5
+    std = jnp.ones((1, 2))
+    base = kl_std_normal(mu, std)
+    np.testing.assert_allclose(base, 4.5 / 2, rtol=1e-6)
+    np.testing.assert_allclose(kl_std_normal(mu, std, free_bits=0.0), base)
+    np.testing.assert_allclose(kl_std_normal(mu, std, free_bits=0.5),
+                               (0.5 + 4.5) / 2, rtol=1e-6)
+    # no KL gradient on a floored dim; untouched gradient above the floor
+    g = jax.grad(lambda m: kl_std_normal(m, std, free_bits=0.5))(mu)
+    assert g[0, 0] == 0.0 and g[0, 1] != 0.0
+
+
+def test_free_bits_config_threads_through_losses():
+    """cfg.free_bits > 0 changes the KLD metric of every ELBO family and
+    the GM-VAE latent KL (and nothing else blows up)."""
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+    from music_fader_nets_tpu.train import objectives
+
+    key = jax.random.PRNGKey(7)
+    B = 4
+    ks = jax.random.split(key, 7)
+    batch = {
+        "x": jax.random.randint(ks[0], (B, 10), 0, 342),
+        "r": jax.random.randint(ks[1], (B, 4), 0, 3),
+        "n": jax.random.randint(ks[2], (B, 4), 0, 16),
+        "c": jax.random.uniform(ks[3], (B, 24)),
+        "r_density": jax.random.uniform(ks[4], (B,)),
+        "n_density": jax.random.uniform(ks[5], (B,)),
+        "a": jax.random.randint(ks[6], (B,), 0, 2),
+    }
+    step = jnp.asarray(0, jnp.int32)
+    # the floor must sit above at least one dim's KL to bite: the N(0,1)
+    # KLs start near 0/dim, the GM-VAE component KLs start large
+    for name, init, lossf, kl_key, fb in [
+            ("vanilla", models.init_reg_vae, objectives.vanilla_loss, "KLD",
+             0.25),
+            ("gmm", models.init_reg_gmvae, objectives.gmm_loss,
+             "kld_latent", 1e5),
+            ("singlevae", models.init_single_vae, objectives.singlevae_loss,
+             "KLD", 0.25)]:
+        cfg0 = ModelConfig(hidden_dims=16, z_dims=8, seq_len=10, attr_len=4,
+                           num_clusters=2)
+        cfg1 = ModelConfig(hidden_dims=16, z_dims=8, seq_len=10, attr_len=4,
+                           num_clusters=2, free_bits=fb)
+        p = init(key, cfg0)
+        _, m0 = lossf(p, key, batch, step, cfg0)
+        _, m1 = lossf(p, key, batch, step, cfg1)
+        assert float(m1[kl_key]) > float(m0[kl_key]), name
+        assert np.isfinite(float(m1["loss"])), name
