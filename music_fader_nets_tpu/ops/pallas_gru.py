@@ -1167,6 +1167,7 @@ def _dec_fwd_ce_pallas(tok_t, tgt_t, w_tok, pre_z, whh1, bhh1, wih2, bih2,
                        stash_gates=False, head="ce", n_rep=1):
     T, B0 = tok_t.shape
     B = B0 * n_rep                       # batch rows; tokens shared n_rep-fold
+    assert n_rep == 1 or head != "ce", "CE head needs per-row targets"
     H = h1_0.shape[-1]
     G = whh1.shape[-1]
     Vp = w_tok.shape[0]
