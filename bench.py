@@ -28,10 +28,8 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
     import jax
     # persistent compilation cache: repeated bench runs skip the (slow,
     # tunneled) XLA compile entirely
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from music_fader_nets_tpu.train.cli import enable_compilation_cache
+    enable_compilation_cache()
     from music_fader_nets_tpu.config import ModelConfig
     from music_fader_nets_tpu.data import YamahaDataset
     from music_fader_nets_tpu.data.synthetic import synth_corpus

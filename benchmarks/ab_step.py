@@ -1,4 +1,12 @@
-"""Quick A/B of the trainer steady-state step vs _pick_l_block policy."""
+"""Quick A/B of the trainer steady-state step vs the FORWARD _pick_l_block
+policy (plus a 'noembed' arm that disables the embedded-token encoder
+kernel).
+
+NB scope: since the time-blocked backward refactor, the backward kernels
+size their accumulators via _pick_bwd_blocks/_pick_t_block, NOT
+_pick_l_block — the 'old' arm below changes only the forward layout. The
+historical "bwd pretends 2B" emulation it carries is therefore inert; the
+printed old-vs-new delta isolates the forward l-block choice."""
 import argparse
 
 import jax
@@ -27,6 +35,13 @@ def main():
     ap.add_argument("--policies", default="new,old")
     args = ap.parse_args()
     orig = pallas_gru._pick_l_block
+    try:
+        _run(args, orig)
+    finally:
+        pallas_gru._pick_l_block = orig
+
+
+def _run(args, orig):
     for pol in args.policies.split(","):
         if pol == "noembed":
             # disable the embedded-token encoder kernel; generic pre-kernel
@@ -41,7 +56,7 @@ def main():
                   f"({128 / t:.0f} seq/s)", flush=True)
             continue
         if pol == "old":
-            # old = 13MB budget, bwd pretends 2B; emulate via tiny budget
+            # old = 13MB budget (forward only — see module docstring)
             def old13(L, B, H, G, itemsize, bwd=False):
                 budget = 13 * 1024 * 1024
                 Bb = 2 * B if bwd else B
@@ -59,7 +74,6 @@ def main():
         t = measure(args.dtype)
         print(f"policy={pol:4s} dtype={args.dtype}: step={t * 1e3:.3f} ms "
               f"({128 / t:.0f} seq/s)", flush=True)
-    pallas_gru._pick_l_block = orig
 
 
 if __name__ == "__main__":

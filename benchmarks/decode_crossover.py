@@ -6,7 +6,6 @@ Decides eval/controllability.py::ControllabilityEvaluator._CHUNK policy.
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 import jax
@@ -20,13 +19,13 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from music_fader_nets_tpu.train.cli import enable_compilation_cache
+    enable_compilation_cache()
 
     from music_fader_nets_tpu.config import ModelConfig
     from music_fader_nets_tpu import models
+    from music_fader_nets_tpu.models.gmvae import _global_view
+    from music_fader_nets_tpu.ops.pallas_decode import pallas_greedy_decode
 
     cfg = ModelConfig(num_clusters=2)
     params = models.init_reg_gmvae(jax.random.PRNGKey(0), cfg)
@@ -65,9 +64,12 @@ def main():
         logp = models.reg_gmvae_global_decode(params, z_in, steps)
         return jnp.argmax(logp, axis=-1)
 
-    # (c) one Pallas kernel launch over all rows (if it fits)
+    # (c) one Pallas kernel launch over all rows (if it fits). NB: must call
+    # pallas_greedy_decode directly — greedy_decode_tokens silently falls
+    # back to the XLA scan for >64 rows, which would turn this arm into a
+    # second measurement of (b).
     def kernel_all(z_in):
-        return models.reg_gmvae_decode_tokens(params, z_in, steps)
+        return pallas_greedy_decode(_global_view(params), z_in, steps)
 
     for name, fn in (("chunked64_pallas", chunked),
                      ("scan_one_call", scan_all),

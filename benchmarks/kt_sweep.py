@@ -18,11 +18,13 @@ from music_fader_nets_tpu.ops import pallas_gru
 from benchmarks.kernel_lb_sweep import time_fn
 
 
-def force_kt(kt):
+def force_kt(kt, used):
     def fake(T, fits, **_kw):
         # still honor the kernel's VMEM feasibility model — forcing an
         # infeasible kt just OOMs scoped vmem at compile time
-        return kt if T % kt == 0 and fits(kt) else 1
+        got = kt if T % kt == 0 and fits(kt) else 1
+        used.add(got)
+        return got
     pallas_gru._pick_t_block = fake
 
 
@@ -93,22 +95,27 @@ def main():
     ap.add_argument("--cases", default="generic,embed,dec,dec_ce")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
-    import os
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from music_fader_nets_tpu.train.cli import enable_compilation_cache
+    enable_compilation_cache()
 
     orig = pallas_gru._pick_t_block
     cases = {"generic": case_generic, "embed": case_embed,
              "dec": case_dec, "dec_ce": case_dec_ce}
-    for name in args.cases.split(","):
-        fn, a, h0i = cases[name]()
-        for kt in (int(x) for x in args.kts.split(",")):
-            force_kt(kt)
-            t = time_fn(fn, a, iters=args.iters, h0_idx=h0i)
-            print(f"{name:8s} kt={kt:3d}: {t * 1e3:.3f} ms", flush=True)
-    pallas_gru._pick_t_block = orig
+    try:
+        for name in args.cases.split(","):
+            fn, a, h0i = cases[name]()
+            for kt in (int(x) for x in args.kts.split(",")):
+                used = set()
+                force_kt(kt, used)
+                t = time_fn(fn, a, iters=args.iters, h0_idx=h0i)
+                # a kernel may reject an indivisible/infeasible kt and fall
+                # back to 1 — label the row with what actually ran
+                actual = ",".join(str(k) for k in sorted(used)) or str(kt)
+                note = "" if used in (set(), {kt}) else f"  (forced {kt})"
+                print(f"{name:8s} kt={actual:>3s}: {t * 1e3:.3f} ms{note}",
+                      flush=True)
+    finally:
+        pallas_gru._pick_t_block = orig
 
 
 if __name__ == "__main__":

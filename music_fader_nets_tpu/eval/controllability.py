@@ -20,6 +20,7 @@ file I/O).
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Callable, Dict, Optional, Tuple
@@ -36,14 +37,22 @@ EOS = 1
 
 # process-wide jit wrapper cache: jax.jit(f) twice yields two wrappers with
 # INDEPENDENT compile caches, so per-evaluator jitting would recompile the
-# same program for every evaluator instance (expensive on a tunneled TPU)
-_JIT_CACHE: dict = {}
+# same program for every evaluator instance (expensive on a tunneled TPU).
+# LRU-bounded: keys are often fresh closures (capturing full model params),
+# so an unbounded dict would pin every evaluated checkpoint's params and
+# executables for process lifetime.
+_JIT_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_JIT_CACHE_MAX = 16
 
 
 def _jit_cached(fn, **jit_kwargs):
     key = (fn, tuple(sorted(jit_kwargs.items())))
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(fn, **jit_kwargs)
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.popitem(last=False)
+    else:
+        _JIT_CACHE.move_to_end(key)
     return _JIT_CACHE[key]
 
 
@@ -233,8 +242,7 @@ class ControllabilityEvaluator:
 
     # Pallas kernel batch cap; fixed shape = one compile. Measured winner
     # for a 160-row eval wave (benchmarks/decode_crossover.py, v5e): 3x64
-    # chunked kernel calls 2.48 ms vs one 160-row scan 2.97 ms vs one
-    # 160-row kernel call 2.87 ms.
+    # chunked kernel calls 2.48 ms vs one 160-row scan 2.97 ms.
     _CHUNK = 64
 
     def _decode_all(self, z_full) -> np.ndarray:

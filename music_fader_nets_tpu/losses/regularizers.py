@@ -201,20 +201,26 @@ def glsr_regularizer(decode_fn, z_r, z_n, chroma, rng,
     """GLSR finite-difference latent supervision (reference
     trainer_glsr.py:173-229).
 
-    `decode_fn(z_full) -> (B, steps, V)` must be the teacher-forced decoder
-    the reference uses in training mode (model.training => teacher forcing).
     Perturbs dim 0 of each stream by ±delta, delta = (1 + U[0,1)) * eps,
     decodes, estimates d(attr)/dz by central difference, and penalizes
     -log N(grad; 0, 1).
 
     `masses_fn(z_full) -> (played (B, steps), sep (B, steps))` is the
-    fast-path alternative: the soft attributes only consume note-on and
-    time-separator probability masses, so the fused masked-mass decoder
-    kernel (models.modules.global_decoder_teacher_masses) can supply them
-    without ever materializing the (B, steps, V) log-probs. Identical
-    numerics (softmax mask sums are exactly approx_played_notes /
+    production path (glsr_loss always supplies it): the soft attributes
+    only consume note-on and time-separator probability masses, so the
+    fused masked-mass decoder kernel
+    (models.modules.global_decoder_teacher_masses) can supply them without
+    ever materializing the (B, steps, V) log-probs. Identical numerics
+    (softmax mask sums are exactly approx_played_notes /
     approx_time_separators).
+
+    `decode_fn(z_full) -> (B, steps, V)` is the reference-shaped fallback
+    (pass None when masses_fn is given): the teacher-forced decoder the
+    reference uses in training mode (model.training => teacher forcing),
+    with the soft attributes computed from full log-probs.
     """
+    if masses_fn is None and decode_fn is None:
+        raise ValueError("glsr_regularizer needs masses_fn or decode_fn")
     B = z_r.shape[0]
     kr, kn = jax.random.split(rng)
     d_r = (1.0 + jax.random.uniform(kr, (B,), z_r.dtype)) * epsilon

@@ -177,8 +177,8 @@ def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     # the kernel wins when the per-step weight traffic dominates (small B:
     # 2.4x at B=1-8, the transfer path). For larger waves the measured
     # winner (benchmarks/decode_crossover.py, M=160 steps=100, v5e) is
-    # CHUNKING into B=64 kernel calls: 2.48 ms vs 2.97 one scan call vs
-    # 2.87 one 160-row kernel call — which is what the eval harness does
+    # CHUNKING into B=64 kernel calls: 2.48 ms vs 2.97 ms for one scan
+    # call — which is what the eval harness does
     # (eval/controllability.py::_decode_all, _CHUNK=64). A single >64-row
     # call here still falls back to the scan (one launch, no host-side
     # chunk loop inside other jits).

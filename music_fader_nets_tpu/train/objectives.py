@@ -30,10 +30,7 @@ from music_fader_nets_tpu.losses.regularizers import (
     pati_regularizer,
 )
 from music_fader_nets_tpu.models import gmvae, vae
-from music_fader_nets_tpu.models.modules import (
-    global_decoder_teacher,
-    global_decoder_teacher_masses,
-)
+from music_fader_nets_tpu.models.modules import global_decoder_teacher_masses
 from music_fader_nets_tpu.models.vae import _global_view
 
 Metrics = Dict[str, jax.Array]
@@ -188,20 +185,6 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     steps = min(cfg.eval_decode_steps, x_oh.shape[1])
     gview = _global_view(params)
 
-    def _teacher_inputs(z_full):
-        # glsr_regularizer stacks its 4 perturbations on the batch axis —
-        # tile the teacher inputs to match
-        n_rep = z_full.shape[0] // x_oh.shape[0]
-        xo = jnp.tile(x_oh[:, :steps], (n_rep, 1, 1))
-        toks = jnp.tile(batch["x"][:, :steps], (n_rep, 1))
-        return xo, toks
-
-    def decode_fn(z_full):
-        xo, toks = _teacher_inputs(z_full)
-        return global_decoder_teacher(gview, z_full, xo,
-                                      use_pallas=cfg.use_pallas_gru,
-                                      tokens=toks)
-
     def masses_fn(z_full):
         # the soft attributes only need note-on / time-separator probability
         # masses — on the TPU kernel path the fused masked-mass decoder
@@ -216,7 +199,7 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
                                              use_pallas=cfg.use_pallas_gru,
                                              n_rep=n_rep)
 
-    l_r, l_n = glsr_regularizer(decode_fn, fwd["z_r"], fwd["z_n"], batch["c"],
+    l_r, l_n = glsr_regularizer(None, fwd["z_r"], fwd["z_n"], batch["c"],
                                 rng_glsr,
                                 faithful_batch0=cfg.faithful_glsr_batch0,
                                 masses_fn=masses_fn)
