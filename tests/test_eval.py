@@ -193,3 +193,86 @@ def test_decode_all_chunking(arrays):
     assert all(shape == (64, z.shape[1]) for shape in calls)  # fixed chunks
     # rows preserved in order: first chunk rows 0..63, second 0..5
     assert toks[0, 0] == 0 and toks[63, 0] == 63 and toks[64, 0] == 0
+
+
+def test_metric_arithmetic_analytic(monkeypatch):
+    """Pin the three Table-1 metric formulas to hand-computed values.
+
+    Stubs replace the model and the token->attribute round trip (both are
+    covered by their own tests) so the decoded densities are an exact,
+    known function of (sample, slider index):
+      rhythm density rd(si, k) = (k + si) / 16   (linear in the slider)
+      note density   nd(si, k) = 2               (constant)
+    With 2 samples, 8 slider values 0..7, target=rhythm (reference
+    test_class.py:170-193 semantics):
+      consistency     = 1 - mean_k std_si(rd/r_std) = 1 - (1/32)/r_std
+      restrictiveness = 1 - mean_si std_k(nd/n_std) = 1
+      monotonicity    = mean_si R^2(values, rd)     = 1   (exactly linear)
+    """
+    from music_fader_nets_tpu.eval import controllability as C
+
+    cfg = ModelConfig(hidden_dims=8, z_dims=4, seq_len=16, attr_len=4)
+    n_items, V8, L = 5, 8, 16
+
+    def encode(params, x_oh):
+        B = x_oh.shape[0]
+        import jax.numpy as jnp
+        mu = jnp.zeros((B, cfg.z_dims))
+        std = jnp.ones((B, cfg.z_dims))
+        return (mu, std), (mu, std)
+
+    def decode_tokens(params, z, steps):
+        # rows are sample-major groups of 8 (one per slider value); encode
+        # (si, k) into the token stream: every position = 2 + si*8 + k
+        M = z.shape[0]
+        si = np.arange(M) // V8
+        k = np.arange(M) % V8
+        return np.broadcast_to((2 + si * 8 + k)[:, None], (M, steps))
+
+    def fake_attributes(tokens, beat_res=4):
+        v = int(np.asarray(tokens)[0]) - 2
+        si, k = v // 8, v % 8
+        ones = k + si
+        rhythm = np.array([1] * ones + [0] * (L - ones))
+        note = np.full(L, 2.0)
+        return rhythm, note
+
+    monkeypatch.setattr(C, "attributes_from_tokens", fake_attributes)
+    arrays = {
+        "x": np.zeros((n_items, cfg.seq_len), np.int32),
+        "c": np.zeros((n_items, 24), np.float32),
+    }
+    r_std, n_std = 0.25, 0.5
+    ev = C.ControllabilityEvaluator(
+        params=None, cfg=cfg, encode=encode, decode=None, target="rhythm",
+        epochs=1, num_of_samples=2, decode_steps=12, verbose=False,
+        decode_tokens=decode_tokens, sample_z=False)
+    s = ev.evaluate(arrays, min_val=0.0, max_val=8.0, r_std=r_std,
+                    n_std=n_std)
+    assert abs(s.consistency[0] - (1 - (1 / 32) / r_std)) < 1e-9
+    assert abs(s.restrictiveness[0] - 1.0) < 1e-9
+    assert abs(s.monotonicity[0] - 1.0) < 1e-9
+
+    # target=note: nd(si,k) = k (linear), rd(si,k) = k/16 now NON-target:
+    #   consistency     = 1 - mean_k std_si(k/n_std)       = 1 (same across si)
+    #   restrictiveness = 1 - mean_si std_k(rd/r_std)
+    #                   = 1 - std({0..7})/16/r_std
+    #   monotonicity    = 1 (nd exactly linear in the slider)
+    def fake_attributes_note(tokens, beat_res=4):
+        v = int(np.asarray(tokens)[0]) - 2
+        si, k = v // 8, v % 8
+        rhythm = np.array([1] * k + [0] * (L - k))
+        note = np.full(L, float(k))
+        return rhythm, note
+
+    monkeypatch.setattr(C, "attributes_from_tokens", fake_attributes_note)
+    ev = C.ControllabilityEvaluator(
+        params=None, cfg=cfg, encode=encode, decode=None, target="note",
+        epochs=1, num_of_samples=2, decode_steps=12, verbose=False,
+        decode_tokens=decode_tokens, sample_z=False)
+    s = ev.evaluate(arrays, min_val=0.0, max_val=8.0, r_std=r_std,
+                    n_std=n_std)
+    expect_restrict = 1 - np.std(np.arange(8)) / 16 / r_std
+    assert abs(s.consistency[0] - 1.0) < 1e-9
+    assert abs(s.restrictiveness[0] - expect_restrict) < 1e-9
+    assert abs(s.monotonicity[0] - 1.0) < 1e-9
