@@ -266,7 +266,13 @@ def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
                    train: bool = True) -> Tuple[jax.Array, Metrics]:
     """5*CE_X + beta*KLD (NO annealing — the reference uses raw beta,
     trainer_singlevae.py:107) + Pati reg on z[:,0] (rhythm) and z[:,1]
-    (note) of the single latent (trainer_singlevae.py:110-123)."""
+    (note) of the single latent (trainer_singlevae.py:110-123).
+
+    kl_warmup_steps (the repo's --kl-warmup extension) still applies: its
+    documented meaning is "replace the family's KL weight schedule with a
+    linear 0 -> beta warmup", and for this family the schedule is the
+    constant raw beta — without this the flag would be a silent no-op on
+    trainer_singlevae.py alone."""
     params, batch, dt = _mixed_precision(params, batch, cfg)
     x_oh, _, _ = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.single_vae_forward(params, rng, x_oh, batch["c"], cfg,
@@ -277,6 +283,11 @@ def singlevae_loss(params, rng, batch, step, cfg: ModelConfig,
     kld = kl_std_normal(fwd["mu"], fwd["std"], cfg.free_bits)
     l_r = pati_regularizer(fwd["z"][:, 0], batch["r_density"])
     l_n = pati_regularizer(fwd["z"][:, 1], batch["n_density"])
-    loss = cfg.ce_x_weight * ce_x + cfg.beta * kld + l_r + l_n
+    if cfg.kl_warmup_steps > 0:
+        beta0 = anneal_beta(step, cfg.beta, cfg.faithful_negative_beta,
+                            cfg.kl_warmup_steps)
+    else:
+        beta0 = cfg.beta
+    loss = cfg.ce_x_weight * ce_x + beta0 * kld + l_r + l_n
     return loss, {"loss": loss, "CE_X": ce_x, "KLD": kld,
                   "l_r": l_r, "l_n": l_n}

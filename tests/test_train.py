@@ -119,3 +119,26 @@ def test_long_corpus_variant(  ):
     tr = Trainer(cfg, models.init_reg_vae, {"default": vanilla_loss})
     m = tr.run_epoch(ds.arrays(), seed=0)
     assert np.isfinite(m["loss"])
+
+
+def test_singlevae_kl_warmup_applies(yamaha):
+    """--kl-warmup must not be a silent no-op for the SingleVAE family
+    (whose reference schedule is constant raw beta): at step 0 of the
+    warmup the effective KL weight is 0, i.e. the loss equals the beta=0
+    loss; far past warmup it equals the raw-beta loss."""
+    import dataclasses
+    batch = {k: v[: CFG.batch_size] for k, v in yamaha.items()}
+    rng = jax.random.PRNGKey(0)
+    params = models.init_single_vae(jax.random.PRNGKey(1), CFG)
+
+    def loss_at(cfg, step):
+        l, _ = singlevae_loss(params, rng, batch, jnp.asarray(step), cfg)
+        return float(l)
+
+    warm = dataclasses.replace(CFG, kl_warmup_steps=800)
+    beta0 = dataclasses.replace(CFG, beta=0.0)
+    np.testing.assert_allclose(loss_at(warm, 0), loss_at(beta0, 0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(loss_at(warm, 10_000), loss_at(CFG, 10_000),
+                               rtol=1e-6)
+    assert loss_at(warm, 0) != loss_at(CFG, 0)  # raw beta differs at step 0
