@@ -39,6 +39,24 @@ CVAE_R_STD = 0.16162585
 CVAE_N_STD = 0.8861338
 
 
+def _condition_stds(args, yam):
+    """Density-std normalizers for the condition-sweep evaluators.
+
+    The reference hard-codes the REAL Yamaha corpus stds
+    (test_cvae_v2.py:120-121) — faithful when evaluating that corpus. On
+    the synthetic fallback corpus those constants mis-normalize the
+    metrics (its n_density std is ~0.55, not 0.886, so note consistency/
+    restrictiveness read ~40% too high); use the train split's own stds
+    then, consistent with the latent-slide families."""
+    import numpy as np
+    from music_fader_nets_tpu.data.corpus import CACHE_DIR
+    cache = os.path.join(args.data_dir or CACHE_DIR, "data.npy")
+    if os.path.exists(cache) or args.midi_dirs:
+        return CVAE_R_STD, CVAE_N_STD
+    tr = yam["train"].arrays()
+    return float(np.std(tr["r_density"])), float(np.std(tr["n_density"]))
+
+
 def _load_params(kind: str, cfg: ModelConfig, args):
     spec = MODEL_REGISTRY[kind]
     if args.from_pt:
@@ -162,6 +180,8 @@ def run_evaluation(kind: str, description: str, argv=None,
                   else lambda p, x, rd, nd: models.fader_encode(p, x))
         decode = (models.cvae_global_decode if kind == "cvae"
                   else models.fader_global_decode)
+        r_std, n_std = _condition_stds(args, yam)
+        print(f"condition-sweep std normalizers: r_std={r_std} n_std={n_std}")
         for target in ("rhythm", "note"):
             print(f"=== {target} fader (condition sweep) ===")
             ev = ConditionControllabilityEvaluator(
@@ -169,5 +189,4 @@ def run_evaluation(kind: str, description: str, argv=None,
                 num_of_samples=ns, decode_steps=args.decode_steps,
                 seed=args.seed, sample_z=not args.mean_z)
             # condition values sweep k/8 in [0, 1) (test_cvae_v2.py:37,74-78)
-            ev.evaluate(yam["test"].arrays(), 0.0, 1.0,
-                        CVAE_R_STD, CVAE_N_STD)
+            ev.evaluate(yam["test"].arrays(), 0.0, 1.0, r_std, n_std)

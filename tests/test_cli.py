@@ -104,3 +104,33 @@ def test_eval_cli_end_to_end(tmp_path):
     assert "Monotonicity:" in out.stdout
     assert "latent stats (train):" in out.stdout
     assert "latent stats (test):" in out.stdout
+
+
+def test_condition_stds_source(tmp_path):
+    """Condition-sweep normalizers: reference constants for real data,
+    train-split stds on the synthetic fallback corpus."""
+    import numpy as np
+    from types import SimpleNamespace
+    from music_fader_nets_tpu.eval.cli import (
+        CVAE_N_STD, CVAE_R_STD, _condition_stds)
+
+    class FakeSplit:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def arrays(self):
+            return self._arr
+
+    tr = {"r_density": np.array([0.1, 0.3, 0.5]),
+          "n_density": np.array([1.0, 2.0, 4.0])}
+    yam = {"train": FakeSplit(tr)}
+
+    # synthetic fallback (no cache, no midi dirs) -> corpus stds
+    args = SimpleNamespace(data_dir=str(tmp_path), midi_dirs=None)
+    r, n = _condition_stds(args, yam)
+    assert abs(r - float(np.std(tr["r_density"]))) < 1e-9
+    assert abs(n - float(np.std(tr["n_density"]))) < 1e-9
+
+    # real cache present -> the reference's hard-coded constants
+    np.save(os.path.join(tmp_path, "data.npy"), np.zeros(1))
+    assert _condition_stds(args, yam) == (CVAE_R_STD, CVAE_N_STD)
