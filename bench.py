@@ -131,6 +131,9 @@ def main():
         "step_ms_best": round(min(windows) * 1e3, 3),
         "step_ms_median": round(statistics.median(windows) * 1e3, 3),
         "step_ms_worst": round(max(windows) * 1e3, 3),
+        # secondary north-star (BASELINE.md): B=1 300-step transfer decode
+        "decode300_p50_ms": (round(decode_p50 * 1e3, 2)
+                             if decode_p50 is not None else None),
     }
 
     long_note = ""
