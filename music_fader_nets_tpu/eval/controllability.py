@@ -310,6 +310,18 @@ class ControllabilityEvaluator:
                     tgt = r_row if self.target == "rhythm" else n_row
                     mono.append(_r2(values, np.array(tgt)))
 
+            if not r_all:
+                # no sample survived the token->attribute round trip this
+                # epoch (degenerate checkpoint decoding nothing parseable).
+                # The reference would feed empty arrays into np.std and
+                # print nan-with-warnings; make the nan explicit instead.
+                if self.verbose:
+                    print("WARNING: every sample discarded this epoch "
+                          "(no decode parsed back to attributes)")
+                c_lst.append(float("nan"))
+                r_lst.append(float("nan"))
+                m_lst.append(float("nan"))
+                continue
             r_all = np.array(r_all) / r_std
             n_all = np.array(n_all) / n_std
             if self.target == "rhythm":

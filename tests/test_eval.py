@@ -276,3 +276,55 @@ def test_metric_arithmetic_analytic(monkeypatch):
     assert abs(s.consistency[0] - 1.0) < 1e-9
     assert abs(s.restrictiveness[0] - expect_restrict) < 1e-9
     assert abs(s.monotonicity[0] - 1.0) < 1e-9
+
+
+def test_evaluator_discard_paths(monkeypatch):
+    """Samples whose decode fails the attribute round trip are discarded
+    (reference test_class.py:156-163); the attempt budget is 4x the sample
+    count; a fully-degenerate epoch reports NaN instead of tripping numpy
+    empty-slice warnings."""
+    import warnings
+    from music_fader_nets_tpu.eval import controllability as C
+
+    cfg = ModelConfig(hidden_dims=8, z_dims=4, seq_len=16, attr_len=4)
+
+    def encode(params, x_oh):
+        import jax.numpy as jnp
+        B = x_oh.shape[0]
+        return ((jnp.zeros((B, cfg.z_dims)), jnp.ones((B, cfg.z_dims))),) * 2
+
+    def decode_tokens(params, z, steps):
+        # row index marker (sample-major rows, 8 values per sample)
+        return np.broadcast_to(2 + np.arange(z.shape[0])[:, None],
+                               (z.shape[0], steps))
+
+    arrays = {"x": np.zeros((5, 16), np.int32),
+              "c": np.zeros((5, 24), np.float32)}
+
+    def make_ev():
+        return C.ControllabilityEvaluator(
+            None, cfg, encode, None, target="rhythm", epochs=1,
+            num_of_samples=2, decode_steps=8, verbose=False,
+            decode_tokens=decode_tokens, sample_z=False)
+
+    # odd wave positions fail the round trip -> discarded, loop refills
+    def attrs_partial(tokens, beat_res=4):
+        si = (int(np.asarray(tokens)[0]) - 2) // 8
+        if si % 2 == 1:
+            return None
+        k = (int(np.asarray(tokens)[0]) - 2) % 8
+        return np.array([1] * k + [0] * (16 - k)), np.full(16, 2.0)
+
+    monkeypatch.setattr(C, "attributes_from_tokens", attrs_partial)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = make_ev().evaluate(arrays, 0.0, 8.0, 0.25, 0.5)
+    assert np.isfinite(s.monotonicity[0])      # refilled to 2 kept samples
+
+    # everything fails -> explicit NaN epoch, no numpy warnings
+    monkeypatch.setattr(C, "attributes_from_tokens",
+                        lambda t, beat_res=4: None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = make_ev().evaluate(arrays, 0.0, 8.0, 0.25, 0.5)
+    assert np.isnan(s.consistency[0]) and np.isnan(s.monotonicity[0])
