@@ -134,3 +134,26 @@ def test_condition_stds_source(tmp_path):
     # real cache present -> the reference's hard-coded constants
     np.save(os.path.join(tmp_path, "data.npy"), np.zeros(1))
     assert _condition_stds(args, yam) == (CVAE_R_STD, CVAE_N_STD)
+
+
+@pytest.mark.slow
+def test_notebook_executes(monkeypatch):
+    """Execute arousal_transfer.ipynb end-to-end (the reference ships its
+    transfer pipeline as a notebook; ours is a thin wrapper over
+    transfer/arousal.py, reference arousal_transfer.ipynb cells 8-17)."""
+    nbformat = pytest.importorskip("nbformat")
+    from nbconvert.preprocessors import ExecutePreprocessor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    nb = nbformat.read(os.path.join(repo, "arousal_transfer.ipynb"),
+                       as_version=4)
+    # force CPU in the kernel subprocess: drop the axon plugin from
+    # PYTHONPATH (JAX_PLATFORMS=cpu alone is ignored once it loads);
+    # monkeypatch restores os.environ after the test
+    monkeypatch.setenv("PYTHONPATH", repo)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    ep = ExecutePreprocessor(timeout=900, kernel_name="python3")
+    ep.preprocess(nb, {"metadata": {"path": repo}})
+    outputs = [o for c in nb.cells if c.cell_type == "code"
+               for o in c.get("outputs", [])]
+    assert not any(o.get("output_type") == "error" for o in outputs)
