@@ -48,8 +48,10 @@ def main(argv=None):
     print(f"Wrote {args.out}")
     if args.wav:
         from music_fader_nets_tpu.transfer.audio import notes_to_wav
-        audio = notes_to_wav(notes, args.wav)
-        print(f"Wrote {args.wav} ({audio.size / 22050:.1f}s audio preview)")
+        sample_rate = 22050
+        audio = notes_to_wav(notes, args.wav, sample_rate=sample_rate)
+        print(f"Wrote {args.wav} "
+              f"({audio.size / sample_rate:.1f}s audio preview)")
 
 
 if __name__ == "__main__":

@@ -49,7 +49,16 @@ def get_classic_piano(data_type: str = "short",
                       midi_dirs: Optional[Sequence[str]] = None,
                       synthetic_fallback: bool = True,
                       n_synthetic: int = 2048,
-                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+                      return_source: bool = False,
+                      ) -> Tuple[np.ndarray, ...]:
+    """Load the Yamaha-style corpus: cached `.npy` arrays, else a rebuild
+    from MIDI dirs, else the synthetic fallback (reference ptb_v2.py:276-368).
+
+    With `return_source=True` a fifth element is appended: the provenance
+    string `"cache" | "midi" | "synthetic"`. This is the single source of
+    truth for "is this real data" — consumers (e.g. the condition-sweep
+    std normalizers, eval/cli.py) must branch on it rather than re-deriving
+    provenance from the filesystem."""
     cache_dir = cache_dir or CACHE_DIR
     cache = os.path.join(cache_dir, "data.npy")
 
@@ -58,7 +67,8 @@ def get_classic_piano(data_type: str = "short",
         rhythm = np.load(os.path.join(cache_dir, "rhythm.npy"))
         note = np.load(os.path.join(cache_dir, "note_density.npy"))
         chroma = np.load(os.path.join(cache_dir, "chroma.npy"))
-        return _sanitize_chroma(data, rhythm, note, chroma)
+        out = _sanitize_chroma(data, rhythm, note, chroma)
+        return (*out, "cache") if return_source else out
 
     if midi_dirs:
         files = sorted(
@@ -74,14 +84,16 @@ def get_classic_piano(data_type: str = "short",
         np.save(os.path.join(cache_dir, "rhythm.npy"), rhythm)
         np.save(os.path.join(cache_dir, "note_density.npy"), note)
         np.save(os.path.join(cache_dir, "chroma.npy"), chroma)
-        return data, rhythm, note, chroma
+        out = (data, rhythm, note, chroma)
+        return (*out, "midi") if return_source else out
 
     if not synthetic_fallback:
         raise FileNotFoundError(
             f"no corpus cache at {cache} and no MIDI dirs given")
     seq_len = 100 if data_type == "short" else 250
     attr_len = 16 if data_type == "short" else 64
-    return synthetic.synth_corpus(n_synthetic, seq_len, attr_len)
+    out = synthetic.synth_corpus(n_synthetic, seq_len, attr_len)
+    return (*out, "synthetic") if return_source else out
 
 
 def get_vgmidi(vgmidi_dir: Optional[str] = None,

@@ -39,7 +39,7 @@ CVAE_R_STD = 0.16162585
 CVAE_N_STD = 0.8861338
 
 
-def _condition_stds(args, yam):
+def _condition_stds(yam):
     """Density-std normalizers for the condition-sweep evaluators.
 
     The reference hard-codes the REAL Yamaha corpus stds
@@ -47,11 +47,11 @@ def _condition_stds(args, yam):
     the synthetic fallback corpus those constants mis-normalize the
     metrics (its n_density std is ~0.55, not 0.886, so note consistency/
     restrictiveness read ~40% too high); use the train split's own stds
-    then, consistent with the latent-slide families."""
+    then, consistent with the latent-slide families. Provenance comes from
+    the loader itself (`get_classic_piano(return_source=True)`, stamped on
+    each split by `load_yamaha`), not re-derived from the filesystem."""
     import numpy as np
-    from music_fader_nets_tpu.data.corpus import CACHE_DIR
-    cache = os.path.join(args.data_dir or CACHE_DIR, "data.npy")
-    if os.path.exists(cache) or args.midi_dirs:
+    if getattr(yam["train"], "source", "cache") != "synthetic":
         return CVAE_R_STD, CVAE_N_STD
     tr = yam["train"].arrays()
     return float(np.std(tr["r_density"])), float(np.std(tr["n_density"]))
@@ -180,7 +180,7 @@ def run_evaluation(kind: str, description: str, argv=None,
                   else lambda p, x, rd, nd: models.fader_encode(p, x))
         decode = (models.cvae_global_decode if kind == "cvae"
                   else models.fader_global_decode)
-        r_std, n_std = _condition_stds(args, yam)
+        r_std, n_std = _condition_stds(yam)
         print(f"condition-sweep std normalizers: r_std={r_std} n_std={n_std}")
         for target in ("rhythm", "note"):
             print(f"=== {target} fader (condition sweep) ===")

@@ -75,33 +75,22 @@ def _gates_f32(pre_x, pre_h, h):
 # ---------------------------------------------------------------------------
 
 
-def _pick_l_block(L: int, B: int, H: int, G: int, itemsize: int,
-                  bwd: bool = False) -> int:
-    """Largest L-block whose live VMEM set fits a conservative budget
-    (v5e VMEM is 128MB; pallas_call asks for 120MB — leave headroom for
-    Mosaic's own buffers). Bigger blocks amortize per-grid-step overhead
-    over more MXU work; a chip sweep (benchmarks/kernel_lb_sweep.py) shows
-    the largest fitting block is best for both passes, by a few percent.
-
-    The backward's live set is modeled explicitly: double-buffered
-    pre/h_prev/g inputs and dpre output, VMEM-resident w plus f32
-    dw/db/dh0 accumulators, and the f32 dh carry scratch."""
+def _pick_l_block(L: int, B: int, H: int, G: int, itemsize: int) -> int:
+    """Largest forward L-block whose live VMEM set fits a conservative
+    budget (v5e VMEM is 128MB; pallas_call asks for 120MB — leave headroom
+    for Mosaic's own buffers). Bigger blocks amortize per-grid-step
+    overhead over more MXU work; a chip sweep
+    (benchmarks/kernel_lb_sweep.py) shows the largest fitting block is
+    best, by a few percent. Backward block sizes are modeled separately by
+    `_pick_bwd_blocks` (which also picks the kt time block)."""
     budget = 72 * 1024 * 1024
     for lb in range(L, 0, -1):
         if L % lb:
             continue
-        if bwd:
-            need = lb * (2 * B * G * itemsize        # pre (double buffer)
-                         + 2 * 2 * B * H * itemsize  # h_prev + g (db)
-                         + 2 * B * G * itemsize      # dpre out (db)
-                         + H * G * itemsize          # w (resident)
-                         + H * G * 4                 # dw accumulator (f32)
-                         + 2 * B * H * 4)            # dh0 out + dh carry
-        else:
-            need = lb * (H * G * itemsize            # weights (resident)
-                         + 2 * B * G * itemsize      # pre blocks (db)
-                         + 2 * B * H * itemsize      # out blocks (db)
-                         + 2 * B * H * 4)            # f32 carry + headroom
+        need = lb * (H * G * itemsize            # weights (resident)
+                     + 2 * B * G * itemsize      # pre blocks (db)
+                     + 2 * B * H * itemsize      # out blocks (db)
+                     + 2 * B * H * 4)            # f32 carry + headroom
         if need <= budget:
             return lb
     return 1
@@ -341,25 +330,19 @@ def stacked_gru_scan_pallas(pre, w_hh, b_hh, h0,
 # dW_ih matmul, db reduce, h_prev pads) on top of the DMA time saved.
 
 
-def _pick_l_block_embed(L, B, H, G, Vp, itemsize, bwd, stash=False):
+def _pick_l_block_embed(L, B, H, G, Vp, itemsize, stash=False):
+    """Forward L-block picker for the embedded-token kernel; the backward
+    is sized by `_pick_bwd_blocks_embed`."""
     budget = 72 * 1024 * 1024
     for lb in range(L, 0, -1):
         if L % lb:
             continue
-        common = (Vp * G * itemsize          # w_ih (resident)
-                  + H * G * itemsize         # w_hh (resident)
-                  + 2 * B * H * itemsize)    # tok one-hot scratch headroom
-        if bwd:
-            need = lb * (common
-                         + 2 * 2 * B * H * itemsize  # h_prev + g (db)
-                         + Vp * G * 4                # dw_ih acc (f32)
-                         + H * G * 4                 # dw_hh acc (f32)
-                         + 2 * B * H * 4)            # dh0 + dh carry
-        else:
-            need = lb * (common
-                         + 2 * B * H * itemsize      # out blocks (db)
-                         + (2 * B * 4 * H * itemsize if stash else 0)
-                         + 2 * B * H * 4)            # f32 carry
+        need = lb * (Vp * G * itemsize           # w_ih (resident)
+                     + H * G * itemsize          # w_hh (resident)
+                     + 2 * B * H * itemsize      # tok one-hot scratch
+                     + 2 * B * H * itemsize      # out blocks (db)
+                     + (2 * B * 4 * H * itemsize if stash else 0)
+                     + 2 * B * H * 4)            # f32 carry
         if need <= budget:
             return lb
     return 1
@@ -434,7 +417,7 @@ def _fwd_embed_pallas(tok_lt, w_ih, b_ih, w_hh, b_hh, h0, precision=None,
     G = w_hh.shape[-1]
     Vp = w_ih.shape[1]
     out_dtype = out_dtype or w_ih.dtype
-    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize, bwd=False,
+    lb = _pick_l_block_embed(L, B, H, G, Vp, w_ih.dtype.itemsize,
                              stash=stash_gates)
     seq_spec = pl.BlockSpec((lb, 1, B, H), lambda l, t: (l, t, 0, 0),
                             memory_space=pltpu.VMEM)

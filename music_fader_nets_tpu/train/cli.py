@@ -147,12 +147,19 @@ def config_from_args(kind: str, args) -> ModelConfig:
 
 
 def load_yamaha(args, cfg: ModelConfig):
-    data = get_classic_piano(data_type=getattr(args, "data_type", "short"),
-                             cache_dir=args.data_dir,
-                             midi_dirs=args.midi_dirs,
-                             n_synthetic=args.synthetic_size)
-    return {mode: YamahaDataset(*data, mode=mode)
-            for mode in ("train", "val", "test")}
+    *data, source = get_classic_piano(
+        data_type=getattr(args, "data_type", "short"),
+        cache_dir=args.data_dir,
+        midi_dirs=args.midi_dirs,
+        n_synthetic=args.synthetic_size,
+        return_source=True)
+    splits = {mode: YamahaDataset(*data, mode=mode)
+              for mode in ("train", "val", "test")}
+    for ds in splits.values():
+        # corpus provenance ("cache"/"midi"/"synthetic") — see
+        # eval/cli.py::_condition_stds
+        ds.source = source
+    return splits
 
 
 def load_vgmidi(args):

@@ -43,7 +43,8 @@ def render_notes(notes: Sequence[MidiNote], sample_rate: int = 22050,
     real string). The result is peak-normalized to `gain` only if it
     would otherwise clip, so relative dynamics survive.
     """
-    notes = [n for n in notes if n.end > n.start and 0 <= n.pitch < 128]
+    notes = [n for n in notes
+             if n.end > n.start >= 0 and 0 <= n.pitch < 128]
     if not notes:
         return np.zeros(int(0.25 * sample_rate), dtype=np.float32)
     end_time = max(n.end for n in notes) + _RELEASE_S

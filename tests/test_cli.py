@@ -107,33 +107,41 @@ def test_eval_cli_end_to_end(tmp_path):
 
 
 def test_condition_stds_source(tmp_path):
-    """Condition-sweep normalizers: reference constants for real data,
-    train-split stds on the synthetic fallback corpus."""
+    """Condition-sweep normalizers branch on the loader's provenance stamp:
+    reference constants for real data ("cache"/"midi"), train-split stds on
+    the synthetic fallback corpus."""
     import numpy as np
     from types import SimpleNamespace
     from music_fader_nets_tpu.eval.cli import (
         CVAE_N_STD, CVAE_R_STD, _condition_stds)
+    from music_fader_nets_tpu.train.cli import load_yamaha
 
     class FakeSplit:
-        def __init__(self, arr):
+        def __init__(self, arr, source):
             self._arr = arr
+            self.source = source
 
         def arrays(self):
             return self._arr
 
     tr = {"r_density": np.array([0.1, 0.3, 0.5]),
           "n_density": np.array([1.0, 2.0, 4.0])}
-    yam = {"train": FakeSplit(tr)}
 
-    # synthetic fallback (no cache, no midi dirs) -> corpus stds
-    args = SimpleNamespace(data_dir=str(tmp_path), midi_dirs=None)
-    r, n = _condition_stds(args, yam)
+    # synthetic fallback -> corpus stds
+    r, n = _condition_stds({"train": FakeSplit(tr, "synthetic")})
     assert abs(r - float(np.std(tr["r_density"]))) < 1e-9
     assert abs(n - float(np.std(tr["n_density"]))) < 1e-9
 
-    # real cache present -> the reference's hard-coded constants
-    np.save(os.path.join(tmp_path, "data.npy"), np.zeros(1))
-    assert _condition_stds(args, yam) == (CVAE_R_STD, CVAE_N_STD)
+    # real data (cache or midi rebuild) -> the reference's constants;
+    # unknown provenance (no stamp) conservatively matches the reference
+    for split in (FakeSplit(tr, "cache"), FakeSplit(tr, "midi"), object()):
+        assert _condition_stds({"train": split}) == (CVAE_R_STD, CVAE_N_STD)
+
+    # load_yamaha stamps every split with the loader's provenance
+    args = SimpleNamespace(data_dir=str(tmp_path), midi_dirs=None,
+                           synthetic_size=48)
+    yam = load_yamaha(args, None)
+    assert all(ds.source == "synthetic" for ds in yam.values())
 
 
 @pytest.mark.slow
@@ -142,7 +150,8 @@ def test_notebook_executes(monkeypatch):
     transfer pipeline as a notebook; ours is a thin wrapper over
     transfer/arousal.py, reference arousal_transfer.ipynb cells 8-17)."""
     nbformat = pytest.importorskip("nbformat")
-    from nbconvert.preprocessors import ExecutePreprocessor
+    nbconvert_pre = pytest.importorskip("nbconvert.preprocessors")
+    ExecutePreprocessor = nbconvert_pre.ExecutePreprocessor
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     nb = nbformat.read(os.path.join(repo, "arousal_transfer.ipynb"),
