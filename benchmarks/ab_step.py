@@ -57,14 +57,13 @@ def _run(args, orig):
             continue
         if pol == "old":
             # old = 13MB budget (forward only — see module docstring)
-            def old13(L, B, H, G, itemsize, bwd=False):
+            def old13(L, B, H, G, itemsize):
                 budget = 13 * 1024 * 1024
-                Bb = 2 * B if bwd else B
                 for lb in range(L, 0, -1):
                     if L % lb:
                         continue
-                    need = (lb * H * G * itemsize + 2 * lb * Bb * G * itemsize
-                            + 2 * lb * Bb * H * itemsize + 2 * lb * Bb * H * 4)
+                    need = (lb * H * G * itemsize + 2 * lb * B * G * itemsize
+                            + 2 * lb * B * H * itemsize + 2 * lb * B * H * 4)
                     if need <= budget:
                         return lb
                 return 1

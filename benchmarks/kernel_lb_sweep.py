@@ -48,12 +48,20 @@ def time_fn(fn, args, iters=30, h0_idx=3):
 
 
 def with_blocks(fwd_lb, bwd_lb, B):
-    orig = pallas_gru._pick_l_block
+    """Pin the forward l-block and the backward l-block (the backward keeps
+    its production kt choice — sweep that with benchmarks/kt_sweep.py).
+    Returns the two originals for the caller's finally-restore."""
+    orig_fwd = pallas_gru._pick_l_block
+    orig_bwd = pallas_gru._pick_bwd_blocks
 
-    def fake(Lk, Bk, Hk, Gk, isz, bwd=False):
-        return bwd_lb if bwd else fwd_lb
-    pallas_gru._pick_l_block = fake
-    return orig
+    def fake_fwd(Lk, Bk, Hk, Gk, isz):
+        return fwd_lb
+
+    def fake_bwd(Lk, Tk, Bk, Hk, Gk, isz):
+        return bwd_lb, orig_bwd(Lk, Tk, Bk, Hk, Gk, isz)[1]
+    pallas_gru._pick_l_block = fake_fwd
+    pallas_gru._pick_bwd_blocks = fake_bwd
+    return orig_fwd, orig_bwd
 
 
 def main():
@@ -86,7 +94,7 @@ def main():
         # --- forward sweep ---
         best_fwd, best_t = None, float("inf")
         for lb in divisors:
-            orig = with_blocks(lb, 1, B)
+            orig_fwd, orig_bwd = with_blocks(lb, 1, B)
             try:
                 tf = time_fn(jax.jit(pallas_gru.stacked_gru_pallas),
                              (pre, w, b, h0), args.iters)
@@ -97,11 +105,12 @@ def main():
                 print(f"{dname:9s} fwd lb={lb}  FAILED: "
                       f"{type(e).__name__}: {str(e)[:140]}", flush=True)
             finally:
-                pallas_gru._pick_l_block = orig
+                pallas_gru._pick_l_block = orig_fwd
+                pallas_gru._pick_bwd_blocks = orig_bwd
 
-        # --- backward sweep (fwd fixed at best) ---
+        # --- backward l-block sweep (fwd fixed at best, production kt) ---
         for lb in divisors:
-            orig = with_blocks(best_fwd, lb, B)
+            orig_fwd, orig_bwd = with_blocks(best_fwd, lb, B)
             try:
                 f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
                 t = time_fn(f, (pre, w, b, h0), args.iters)
@@ -111,7 +120,8 @@ def main():
                 print(f"{dname:9s} bwd lb={lb}  FAILED: "
                       f"{type(e).__name__}: {str(e)[:140]}", flush=True)
             finally:
-                pallas_gru._pick_l_block = orig
+                pallas_gru._pick_l_block = orig_fwd
+                pallas_gru._pick_bwd_blocks = orig_bwd
 
 
 if __name__ == "__main__":
