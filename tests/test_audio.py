@@ -43,9 +43,11 @@ def test_render_is_deterministic_and_velocity_scales():
 
 def test_render_empty_and_degenerate_notes():
     assert render_notes([], sample_rate=8000).size > 0
-    # zero-length / out-of-range notes are dropped, not crashed on
+    # zero-length / out-of-range / negative-start notes are dropped,
+    # not crashed on
     audio = render_notes([MidiNote(60, 80, 1.0, 1.0),
-                          MidiNote(200, 80, 0.0, 0.5)], sample_rate=8000)
+                          MidiNote(200, 80, 0.0, 0.5),
+                          MidiNote(60, 80, -0.5, 0.2)], sample_rate=8000)
     assert np.abs(audio).max() == 0.0
 
 
