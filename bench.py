@@ -19,8 +19,11 @@ import json
 import os
 import sys
 
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "benchmarks", "baseline_cache.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(_HERE, "benchmarks", "baseline_cache.json")
+# last successful bench result — the stale-fallback payload when the TPU
+# tunnel is wedged (see run_guarded)
+LAST_GOOD = os.path.join(_HERE, "log", "bench_last_good.json")
 
 
 def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
@@ -98,6 +101,71 @@ def measure_torch_baseline(batch_size: int, seq_len: int, attr_len: int,
     return cache[key]
 
 
+def _emit_stale(reason: str) -> None:
+    """Print the last successful bench result flagged stale (or an explicit
+    error line if none exists) — ONE parseable JSON line either way, so a
+    wedged TPU tunnel at round end still leaves an honest record."""
+    import time
+    if os.path.exists(LAST_GOOD):
+        with open(LAST_GOOD) as f:
+            result = json.load(f)
+        age_h = (time.time() - os.path.getmtime(LAST_GOOD)) / 3600
+        result["stale"] = True
+        result["stale_reason"] = reason
+        result["stale_age_hours"] = round(age_h, 1)
+    else:
+        result = {"metric": "gmvae_train_seqs_per_sec_per_chip",
+                  "value": None, "unit": "seq/s", "vs_baseline": None,
+                  "error": reason}
+    print(json.dumps(result))
+
+
+def run_guarded(argv, max_wait: float) -> int:
+    """Run the real measurement as a child process with a wall-clock bound.
+
+    The axon TPU tunnel has twice wedged so hard that backend init hangs for
+    hours (or crashes after ~26 min). If that happens during the driver's
+    round-end bench run, an unguarded bench.py records nothing. The guard
+    never kills the child on timeout — SIGTERM/SIGKILL mid-TPU-RPC is what
+    wedges the tunnel in the first place (CLAUDE.md) — it abandons it (the
+    child still writes LAST_GOOD if it eventually succeeds) and emits the
+    last-good result flagged stale."""
+    import subprocess
+    out_path = os.path.join(_HERE, "log", "bench_child_last.out")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as out:
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--no-guard"] + argv,
+            stdout=out, stderr=sys.stderr, cwd=_HERE)
+    try:
+        rc = child.wait(timeout=max_wait)
+    except subprocess.TimeoutExpired:
+        _emit_stale(f"bench timed out after {max_wait:.0f}s "
+                    "(TPU tunnel wedged?); child abandoned, not killed")
+        return 0
+    if rc == 0:
+        with open(out_path) as f:
+            line = _last_json_line(f.read())
+        if line is not None:
+            print(line)
+            return 0
+    _emit_stale(f"bench child exited rc={rc} with no JSON line")
+    return 0
+
+
+def _last_json_line(text: str):
+    """Last stdout line that parses as a JSON object, or None."""
+    for ln in reversed(text.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                json.loads(ln)
+                return ln
+            except ValueError:
+                continue
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=128)
@@ -112,7 +180,15 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-long", action="store_true",
                     help="measure only the short (T=100) variant")
+    ap.add_argument("--no-guard", action="store_true",
+                    help="measure in-process (no wedge watchdog)")
+    ap.add_argument("--max-wait", type=float, default=2700.0,
+                    help="guard wall-clock bound, seconds (covers cold "
+                         "Mosaic compiles of both corpus variants)")
     args = ap.parse_args()
+    if not args.no_guard:
+        argv = [a for a in sys.argv[1:] if a != "--no-guard"]
+        sys.exit(run_guarded(argv, args.max_wait))
 
     seqs_per_sec, step_t, decode_p50, windows = measure_jax(
         args.batch_size, args.seq_len, args.attr_len, args.iters, args.dtype)
@@ -152,6 +228,12 @@ def main():
                      f"({l_sps:.1f} seq/s, torch-cpu {l_base and round(l_base, 1)})")
 
     print(json.dumps(result))
+    # record for the stale-fallback path (run_guarded); only the default
+    # configuration is the driver's headline number
+    if (args.batch_size, args.seq_len, args.dtype) == (128, 100, "bfloat16"):
+        os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
+        with open(LAST_GOOD, "w") as f:
+            json.dump(result, f)
     print(f"# step={step_t * 1e3:.2f}ms B={args.batch_size} T={args.seq_len} "
           f"dtype={args.dtype}; p50 300-step B=1 decode="
           f"{decode_p50 * 1e3:.2f}ms (pallas); torch-cpu baseline="

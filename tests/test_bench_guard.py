@@ -1,0 +1,45 @@
+"""bench.py wedge-guard unit tests (pure host-side logic, no backend).
+
+The guard exists because the axon TPU tunnel has twice wedged so hard that
+backend init hangs for hours; the driver's round-end `python bench.py` must
+still print ONE parseable JSON line. These tests cover the fallback payloads
+and the child-output parsing; the child-spawn path itself is exercised
+manually (it needs a live/wedged TPU backend to be meaningful).
+"""
+import json
+
+import bench
+
+
+def test_emit_stale_without_last_good(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "LAST_GOOD", str(tmp_path / "none.json"))
+    bench._emit_stale("no backend")
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["metric"] == "gmvae_train_seqs_per_sec_per_chip"
+    assert out["value"] is None
+    assert out["error"] == "no backend"
+
+
+def test_emit_stale_flags_last_good(tmp_path, monkeypatch, capsys):
+    lg = tmp_path / "last_good.json"
+    lg.write_text(json.dumps({"metric": "gmvae_train_seqs_per_sec_per_chip",
+                              "value": 24362.5, "unit": "seq/s"}))
+    monkeypatch.setattr(bench, "LAST_GOOD", str(lg))
+    bench._emit_stale("timed out")
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 24362.5
+    assert out["stale"] is True
+    assert out["stale_reason"] == "timed out"
+    assert out["stale_age_hours"] >= 0
+
+
+def test_last_json_line_picks_final_parseable():
+    text = "\n".join([
+        "# warmup chatter",
+        '{"metric": "a", "value": 1}',
+        "{not json",
+        '{"metric": "b", "value": 2}',
+        "# trailing note",
+    ])
+    assert json.loads(bench._last_json_line(text))["metric"] == "b"
+    assert bench._last_json_line("no json here\n") is None
