@@ -839,40 +839,23 @@ def _gate_bwd(dh_total, r, z, n, hn_h, h_prev):
     return dpre_x, dpre_h, dh_total * z
 
 
-def _dec_bwd_kernel(precision, kt, Vp,
-                    tok_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
-                    g41_ref, g42_ref, g2_ref,
-                    whh1_ref, wih2_ref, whh2_ref, h10_ref,
-                    dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
-                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
-                    dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c):
-    tb = pl.program_id(0)                     # reversed block index
-    TB = pl.num_programs(0)
-    first_blk = tb == TB - 1                  # block containing t = 0
-
-    @pl.when(tb == 0)
-    def _():
-        dh1_c[:] = jnp.zeros_like(dh1_c)
-        dh2_c[:] = jnp.zeros_like(dh2_c)
-        for ref in (dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
-                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref):
-            ref[:] = jnp.zeros_like(ref[:])
-
-    def dot(a, b, dims):
-        return jax.lax.dot_general(a, b, (dims, ((), ())),
-                                   preferred_element_type=F32,
-                                   precision=precision)
-
+def _dec_bwd_chain(kt, first_blk, dot, dh2_head,
+                   h1cur, h2cur, h1flat, g41_ref, g42_ref,
+                   h1p_ref, h2p_ref, h10_ref,
+                   whh1_ref, wih2_ref, whh2_ref, onehot, tok_fold,
+                   dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                   dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
+                   dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c):
+    """Shared tail of the two decoder backward kernels (_dec_bwd_kernel and
+    _dec_bwd_ce_kernel): h_prev stream reconstruction from the stash, the
+    reversed sequential dh chains over the block, and the once-per-block
+    batched accumulator updates. The heads differ only in `dh2_head(s)` —
+    the per-step output-side cotangent into layer 2 — and the dW_tok
+    contraction (`onehot` width and the `tok_fold(s1x)` n_rep folding of
+    dpre1 over token-sharing batch copies differ)."""
     B = dh1_c.shape[0]
     H = dh1_c.shape[1]
     G = whh1_ref.shape[-1]
-    h1cur = h1_ref[:].astype(F32)                          # (kt, B, H)
-    h2cur = h2_ref[:].astype(F32)
-    h1flat = h1cur.reshape(kt * B, H)
-
-    # ---- gates come from the forward's stash; only the h_prev streams
-    # and the dW_tok onehot are (re)built ----
-    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, whh1_ref.dtype)
     g41 = g41_ref[:].astype(F32)                           # (kt, B, 4H)
     g42 = g42_ref[:].astype(F32)
     h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
@@ -890,7 +873,7 @@ def _dec_bwd_kernel(precision, kt, Vp,
         r2 = g42[s, :, :H]
         z2 = g42[s, :, H:2 * H]
         n2 = g42[s, :, 2 * H:3 * H]
-        dh2 = g2_ref[s].astype(F32) + dh2_c[:]
+        dh2 = dh2_head(s) + dh2_c[:]
         dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2,
                                            g42[s, :, 3 * H:],
                                            h2prev_blk[s])
@@ -927,7 +910,8 @@ def _dec_bwd_kernel(precision, kt, Vp,
     s1h = s1h_c[:].reshape(kt * B, G)
     s2x = s2x_c[:].reshape(kt * B, G)
     s2h = s2h_c[:].reshape(kt * B, G)
-    dwtok_ref[:] += dot(onehot, s1x, ((0,), (0,)))
+    s1x_tok = tok_fold(s1x)
+    dwtok_ref[:] += dot(onehot, s1x_tok, ((0,), (0,)))
     dprez_ref[:] += jnp.sum(s1x_c[:], axis=0)
     dwhh1_ref[:] += dot(h1prev_blk.reshape(kt * B, H), s1h, ((0,), (0,)))
     dbhh1_ref[:] += jnp.sum(s1h, axis=0, keepdims=True)
@@ -935,6 +919,50 @@ def _dec_bwd_kernel(precision, kt, Vp,
     dbih2_ref[:] += jnp.sum(s2x, axis=0, keepdims=True)
     dwhh2_ref[:] += dot(h2prev_blk.reshape(kt * B, H), s2h, ((0,), (0,)))
     dbhh2_ref[:] += jnp.sum(s2h, axis=0, keepdims=True)
+
+
+def _dec_bwd_kernel(precision, kt, Vp,
+                    tok_ref, h1_ref, h1p_ref, h2_ref, h2p_ref,
+                    g41_ref, g42_ref, g2_ref,
+                    whh1_ref, wih2_ref, whh2_ref, h10_ref,
+                    dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
+                    dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c):
+    tb = pl.program_id(0)                     # reversed block index
+    TB = pl.num_programs(0)
+    first_blk = tb == TB - 1                  # block containing t = 0
+
+    @pl.when(tb == 0)
+    def _():
+        dh1_c[:] = jnp.zeros_like(dh1_c)
+        dh2_c[:] = jnp.zeros_like(dh2_c)
+        for ref in (dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                    dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref):
+            ref[:] = jnp.zeros_like(ref[:])
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=F32,
+                                   precision=precision)
+
+    B = dh1_c.shape[0]
+    H = dh1_c.shape[1]
+    h1cur = h1_ref[:].astype(F32)                          # (kt, B, H)
+    h2cur = h2_ref[:].astype(F32)
+    h1flat = h1cur.reshape(kt * B, H)
+
+    # gates come from the forward's stash; only the h_prev streams and the
+    # dW_tok onehot are (re)built — both in _dec_bwd_chain
+    onehot = _rows_onehot(tok_ref[:, 0, :], kt, B, Vp, whh1_ref.dtype)
+    _dec_bwd_chain(kt, first_blk, dot,
+                   lambda s: g2_ref[s].astype(F32),
+                   h1cur, h2cur, h1flat, g41_ref, g42_ref,
+                   h1p_ref, h2p_ref, h10_ref,
+                   whh1_ref, wih2_ref, whh2_ref,
+                   onehot, lambda s1x: s1x,
+                   dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                   dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
+                   dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c)
 
 
 def _dec_bwd_pallas(tok_t, h1_seq, h2_seq, g41_seq, g42_seq, g2_seq,
@@ -1275,82 +1303,31 @@ def _dec_bwd_ce_kernel(precision, kt, Vp, head, n_rep,
     dbout_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
     dh2ce = dot(dlogits, wout_ref[:], ((1,), (1,))).reshape(kt, B, H)
 
-    # ---- gates come from the forward's stash; only the h_prev streams
-    # and the dW_tok onehot are (re)built (at B/n_rep rows — the n_rep
-    # batch copies share their teacher tokens) ----
+    # gates come from the forward's stash; only the h_prev streams and the
+    # dW_tok onehot are (re)built (the latter at B/n_rep rows — the n_rep
+    # batch copies share their teacher tokens)
     B0 = B // n_rep
     onehot = _rows_onehot(tok_ref[:, 0, :], kt, B0, Vp, whh1_ref.dtype)
-    g41 = g41_ref[:].astype(F32)                           # (kt, B, 4H)
-    g42 = g42_ref[:].astype(F32)
-    h1prev0 = jnp.where(first_blk, h10_ref[:].astype(F32),
-                        h1p_ref[kt - 1].astype(F32))
-    h1prev_blk = (h1prev0[None] if kt == 1 else jnp.concatenate(
-        [h1prev0[None], h1cur[: kt - 1]], axis=0))
-    # reference t==0 quirk: layer 2's previous hidden := layer 1's fresh
-    # state (model_v2.py:130-132)
-    h2prev0 = jnp.where(first_blk, h1cur[0], h2p_ref[kt - 1].astype(F32))
-    h2prev_blk = (h2prev0[None] if kt == 1 else jnp.concatenate(
-        [h2prev0[None], h2cur[: kt - 1]], axis=0))
 
-    # ---- sequential dh chains over the block (reversed) ----
-    for s in range(kt - 1, -1, -1):
-        r2 = g42[s, :, :H]
-        z2 = g42[s, :, H:2 * H]
-        n2 = g42[s, :, 2 * H:3 * H]
-        dh2 = dh2ce[s] + dh2_c[:]
-        dpre2x, dpreh2, dh2loc = _gate_bwd(dh2, r2, z2, n2,
-                                           g42[s, :, 3 * H:],
-                                           h2prev_blk[s])
-        dh2prev = dh2loc + dot(dpreh2, whh2_ref[:], ((1,), (1,)))
-        s2x_c[s] = dpre2x
-        s2h_c[s] = dpreh2
-
-        dh1 = dh1_c[:] + dot(dpre2x, wih2_ref[:], ((1,), (1,)))
-        if s == 0:
-            dh1 = dh1 + jnp.where(first_blk, dh2prev,
-                                  jnp.zeros_like(dh2prev))
-            dh2_c[:] = jnp.where(first_blk, jnp.zeros_like(dh2prev),
-                                 dh2prev)
-        else:
-            dh2_c[:] = dh2prev
-
-        r1 = g41[s, :, :H]
-        z1 = g41[s, :, H:2 * H]
-        n1 = g41[s, :, 2 * H:3 * H]
-        dpre1x, dpreh1, dh1loc = _gate_bwd(dh1, r1, z1, n1,
-                                           g41[s, :, 3 * H:],
-                                           h1prev_blk[s])
-        dh1_c[:] = dh1loc + dot(dpreh1, whh1_ref[:], ((1,), (1,)))
-        s1x_c[s] = dpre1x
-        s1h_c[s] = dpreh1
-        if s == 0:
-            @pl.when(first_blk)
-            def _():
-                dh10_ref[:] = dh1_c[:].astype(dh10_ref.dtype)
-
-    # ---- ONE accumulator update per block: batched dW matmuls ----
-    s1x = s1x_c[:].reshape(kt * B, G)
-    s1h = s1h_c[:].reshape(kt * B, G)
-    s2x = s2x_c[:].reshape(kt * B, G)
-    s2h = s2h_c[:].reshape(kt * B, G)
-    if n_rep == 1:
-        s1x_tok = s1x
-    else:
+    def tok_fold(s1x):
+        if n_rep == 1:
+            return s1x
         # fold dpre1 over the n_rep token-sharing copies BEFORE the dW_tok
         # matmul: onehot is identical per copy, so dW_tok = onehot^T @
         # (sum over copies) — an n_rep-fold smaller contraction
         folded = s1x_c[:, 0:B0, :]
         for c in range(1, n_rep):
             folded = folded + s1x_c[:, c * B0:(c + 1) * B0, :]
-        s1x_tok = folded.reshape(kt * B0, G)
-    dwtok_ref[:] += dot(onehot, s1x_tok, ((0,), (0,)))
-    dprez_ref[:] += jnp.sum(s1x_c[:], axis=0)
-    dwhh1_ref[:] += dot(h1prev_blk.reshape(kt * B, H), s1h, ((0,), (0,)))
-    dbhh1_ref[:] += jnp.sum(s1h, axis=0, keepdims=True)
-    dwih2_ref[:] += dot(h1flat, s2x, ((0,), (0,)))
-    dbih2_ref[:] += jnp.sum(s2x, axis=0, keepdims=True)
-    dwhh2_ref[:] += dot(h2prev_blk.reshape(kt * B, H), s2h, ((0,), (0,)))
-    dbhh2_ref[:] += jnp.sum(s2h, axis=0, keepdims=True)
+        return folded.reshape(kt * B0, G)
+
+    _dec_bwd_chain(kt, first_blk, dot,
+                   lambda s: dh2ce[s],
+                   h1cur, h2cur, h1flat, g41_ref, g42_ref,
+                   h1p_ref, h2p_ref, h10_ref,
+                   whh1_ref, wih2_ref, whh2_ref, onehot, tok_fold,
+                   dwtok_ref, dprez_ref, dwhh1_ref, dbhh1_ref,
+                   dwih2_ref, dbih2_ref, dwhh2_ref, dbhh2_ref, dh10_ref,
+                   dh1_c, dh2_c, s1x_c, s1h_c, s2x_c, s2h_c)
 
 
 def _dec_bwd_ce_pallas(tok_t, tgt_t, h1_seq, h2_seq, g41_seq, g42_seq,
