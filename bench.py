@@ -109,7 +109,10 @@ def _emit_stale(reason: str) -> None:
     if os.path.exists(LAST_GOOD):
         with open(LAST_GOOD) as f:
             result = json.load(f)
-        age_h = (time.time() - os.path.getmtime(LAST_GOOD)) / 3600
+        # age from the measurement's own timestamp: the file is git-tracked,
+        # so its mtime is just the checkout time on a fresh clone
+        since = result.pop("measured_at_unix", None) or os.path.getmtime(LAST_GOOD)
+        age_h = (time.time() - since) / 3600
         result["stale"] = True
         result["stale_reason"] = reason
         result["stale_age_hours"] = round(age_h, 1)
@@ -231,9 +234,10 @@ def main():
     # record for the stale-fallback path (run_guarded); only the default
     # configuration is the driver's headline number
     if (args.batch_size, args.seq_len, args.dtype) == (128, 100, "bfloat16"):
+        import time
         os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
         with open(LAST_GOOD, "w") as f:
-            json.dump(result, f)
+            json.dump({**result, "measured_at_unix": round(time.time())}, f)
     print(f"# step={step_t * 1e3:.2f}ms B={args.batch_size} T={args.seq_len} "
           f"dtype={args.dtype}; p50 300-step B=1 decode="
           f"{decode_p50 * 1e3:.2f}ms (pallas); torch-cpu baseline="

@@ -47,7 +47,7 @@ def time_fn(fn, args, iters=30, h0_idx=3):
     return (time.perf_counter() - t0) / iters
 
 
-def with_blocks(fwd_lb, bwd_lb, B):
+def with_blocks(fwd_lb, bwd_lb):
     """Pin the forward l-block and the backward l-block (the backward keeps
     its production kt choice — sweep that with benchmarks/kt_sweep.py).
     Returns the two originals for the caller's finally-restore."""
@@ -94,7 +94,7 @@ def main():
         # --- forward sweep ---
         best_fwd, best_t = None, float("inf")
         for lb in divisors:
-            orig_fwd, orig_bwd = with_blocks(lb, 1, B)
+            orig_fwd, orig_bwd = with_blocks(lb, 1)
             try:
                 tf = time_fn(jax.jit(pallas_gru.stacked_gru_pallas),
                              (pre, w, b, h0), args.iters)
@@ -109,8 +109,12 @@ def main():
                 pallas_gru._pick_bwd_blocks = orig_bwd
 
         # --- backward l-block sweep (fwd fixed at best, production kt) ---
+        if best_fwd is None:
+            print(f"{dname:9s} every forward lb candidate failed; "
+                  "skipping the backward sweep", flush=True)
+            continue
         for lb in divisors:
-            orig_fwd, orig_bwd = with_blocks(best_fwd, lb, B)
+            orig_fwd, orig_bwd = with_blocks(best_fwd, lb)
             try:
                 f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
                 t = time_fn(f, (pre, w, b, h0), args.iters)

@@ -33,6 +33,21 @@ def test_emit_stale_flags_last_good(tmp_path, monkeypatch, capsys):
     assert out["stale_age_hours"] >= 0
 
 
+def test_emit_stale_age_from_embedded_timestamp(tmp_path, monkeypatch, capsys):
+    # the file is git-tracked, so mtime is checkout time on a fresh clone;
+    # age must come from the measurement's own timestamp when present
+    import time
+    lg = tmp_path / "last_good.json"
+    lg.write_text(json.dumps({"metric": "gmvae_train_seqs_per_sec_per_chip",
+                              "value": 1.0,
+                              "measured_at_unix": time.time() - 48 * 3600}))
+    monkeypatch.setattr(bench, "LAST_GOOD", str(lg))
+    bench._emit_stale("wedged")
+    out = json.loads(capsys.readouterr().out.strip())
+    assert 47.5 <= out["stale_age_hours"] <= 48.5
+    assert "measured_at_unix" not in out
+
+
 def test_last_json_line_picks_final_parseable():
     text = "\n".join([
         "# warmup chatter",
