@@ -129,3 +129,42 @@ def synth_vgmidi(n_segments: int = 512, seq_len: int = 100, attr_len: int = 16,
         0, 0.2, n_segments)
     valence = rng.uniform(-1.0, 1.0, size=n_segments)
     return data, rhythm, note, arousal, valence, chroma
+
+
+def synth_vgmidi_ragged(n_segments: int = 64, seq_len: int = 100,
+                        attr_len: int = 16, seed: int = 779):
+    """Released-format VGMIDI stand-in: dtype=object arrays of per-song
+    VARIABLE-length token/rhythm/note sequences (what `np.load(...,
+    allow_pickle=True)` yields for the real release, reference
+    ptb_v2.py:375-377). Token rows carry NO EOS and no padding — the
+    reference's `VGMIDIDataset` re-inserts EOS and pads (ptb_v2.py:459-470),
+    and that path is exactly what these fixtures exercise."""
+    rng = np.random.default_rng(seed)
+    d_rows, r_rows, n_rows, chroma_rows, r_dens = [], [], [], [], []
+    guard = 0
+    while len(d_rows) < n_segments and guard < 50 * n_segments:
+        guard += 1
+        a_len = int(rng.integers(max(4, attr_len // 2), attr_len + 1))
+        seg = _gen_segment(rng, a_len, seq_len)
+        if seg is None:
+            continue
+        toks, r, nd, c = seg
+        d_rows.append(np.asarray(toks[:-1], dtype=np.int64))   # strip EOS
+        r_rows.append(np.asarray(r, dtype=np.int64))
+        n_rows.append(np.asarray(nd, dtype=np.int64))
+        chroma_rows.append(c)
+        r_dens.append((np.asarray(r) == 1).mean())
+    if len(d_rows) < n_segments:
+        raise RuntimeError("synthetic generator failed to fill the corpus")
+
+    def _obj(rows):
+        out = np.empty(len(rows), dtype=object)
+        for i, row in enumerate(rows):
+            out[i] = row
+        return out
+
+    r_dens = np.asarray(r_dens)
+    arousal = (r_dens - r_dens.mean()) * 2 + rng.normal(0, 0.2, n_segments)
+    valence = rng.uniform(-1.0, 1.0, size=n_segments)
+    return (_obj(d_rows), _obj(r_rows), _obj(n_rows), arousal, valence,
+            np.asarray(chroma_rows))

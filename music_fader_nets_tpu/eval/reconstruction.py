@@ -60,6 +60,19 @@ def reconstruction_report(params, forward: Callable, arrays: Dict,
             out["acc_n_sum"] = _masked_accuracy(fwd["n_out"], batch["n"], False)
             out["l_r"] = pati_regularizer(fwd["z_r"][:, 0], batch["r_density"])
             out["l_n"] = pati_regularizer(fwd["z_n"][:, 0], batch["n_density"])
+        if "qy_x_r" in fwd and "a" in batch:
+            # GM-VAE supervised splits: arousal-classification accuracy of
+            # the mixture posterior, argmax qy_x vs the binarized label
+            # (reference trainer_gmm.py:570-578 — the headline signal that
+            # the GMM components separate arousal classes). Reported as a
+            # per-sample average; NB the reference divides its sum of
+            # per-BATCH accuracy_score means by the sample count
+            # (trainer_gmm.py:600-605), a normalization quirk we do not copy.
+            y = batch["a"].astype(jnp.int32)
+            out["acc_q_x_r_sum"] = jnp.sum(
+                (jnp.argmax(fwd["qy_x_r"], axis=-1) == y).astype(jnp.float32))
+            out["acc_q_x_n_sum"] = jnp.sum(
+                (jnp.argmax(fwd["qy_x_n"], axis=-1) == y).astype(jnp.float32))
         return out
 
     totals: Dict[str, float] = {}

@@ -67,6 +67,11 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                     help="corpus cache dir (reference data/values_v3 schema)")
     ap.add_argument("--midi-dirs", nargs="*", default=None,
                     help="rebuild corpus from these MIDI directories")
+    ap.add_argument("--vgmidi-dir", default=None,
+                    help="VGMIDI released-arrays dir (song_tokens.npy etc., "
+                         "reference data/filtered_songs_disambiguate); "
+                         "ragged object arrays are handled as the reference "
+                         "does (EOS re-insert + pad, ptb_v2.py:459-470)")
     ap.add_argument("--synthetic-size", type=int, default=2048,
                     help="synthetic corpus size when no cache/MIDI exists")
     ap.add_argument("--data-type", default="short", choices=["short", "long"],
@@ -163,7 +168,8 @@ def load_yamaha(args, cfg: ModelConfig):
 
 
 def load_vgmidi(args):
-    d, r, n, a, v, c = get_vgmidi()
+    d, r, n, a, v, c = get_vgmidi(
+        vgmidi_dir=getattr(args, "vgmidi_dir", None))
     return {mode: VGMIDIDataset(d, r, n, c, a, v, mode=mode)
             for mode in ("train", "val", "test")}
 
@@ -291,6 +297,7 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
               f"{jax.process_count()} keeps 1/{jax.process_count()} "
               "of each training split")
 
+    vgm = None
     if not dual_corpus:
         trainer.fit(shard_arrays_for_process(yam["train"].arrays()),
                     shard_arrays_for_process(yam["val"].arrays()),
@@ -331,7 +338,11 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
             ck(trainer.state, epoch)
     save_timestamped(kind, args, trainer.state)
 
-    # evaluation phase (reference trainer.py:280-376)
+    # evaluation phase (reference trainer.py:280-376). For the dual-corpus
+    # GM-VAE it also reports the VGMIDI supervised splits, including the
+    # arousal-classification accuracy of the mixture posterior
+    # (reference trainer_gmm.py:570-585, printed at :596-605 — the reference
+    # print itself crashes on an undefined adversarial total, a known quirk)
     fwd, has_sub = _forward_for(kind, cfg)
     for split in ("train", "test"):
         rep = reconstruction_report(trainer.params, fwd,
@@ -341,3 +352,13 @@ def run_training(kind: str, description: str, dual_corpus: bool = False,
                                     has_subdecoders=has_sub)
         print(f"[{split}] " + " ".join(
             f"{k}: {v:.4f}" for k, v in sorted(rep.items())))
+    if vgm is not None:
+        for split in ("train", "test"):
+            if len(vgm[split]) == 0:
+                continue
+            rep = reconstruction_report(trainer.params, fwd,
+                                        vgm[split].arrays(), cfg,
+                                        batch_size=min(32, len(vgm[split])),
+                                        has_subdecoders=has_sub)
+            print(f"[vgmidi {split}] " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(rep.items())))

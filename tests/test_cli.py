@@ -33,6 +33,48 @@ def test_trainer_cli_end_to_end(tmp_path, extra):
     assert any(c.startswith("music_attr_vae_reg_vanilla_2") for c in ckpts)
 
 
+def test_trainer_gmm_cli_on_ragged_vgmidi(tmp_path):
+    """GM-VAE dual-corpus CLI straight off released-format VGMIDI arrays:
+    dtype=object .npy files of ragged per-song sequences (EOS re-insert +
+    pad + unpadded densities path, reference ptb_v2.py:459-473), and the
+    final evaluation phase reporting the VGMIDI supervised splits with
+    qy_x arousal-classification accuracy (trainer_gmm.py:570-585)."""
+    gen = (
+        "import numpy as np; "
+        "from music_fader_nets_tpu.data.synthetic import synth_vgmidi_ragged; "
+        "d, r, n, a, v, c = synth_vgmidi_ragged(48, 60, 8); "
+        f"dirp = r'{tmp_path}'; "
+        "np.save(dirp + '/song_tokens.npy', d); "
+        "np.save(dirp + '/rhythm_lst.npy', r); "
+        "np.save(dirp + '/note_lst.npy', n); "
+        "np.save(dirp + '/arousal_lst.npy', a); "
+        "np.save(dirp + '/valence_lst.npy', v); "
+        "np.save(dirp + '/chroma_lst.npy', c)"
+    )
+    out = subprocess.run([sys.executable, "-c", gen], cwd=REPO,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    out = _run(["trainer_gmm.py", "--platform", "cpu", "--epochs", "1",
+                "--batch-size", "8", "--synthetic-size", "48",
+                "--vgmidi-dir", str(tmp_path),
+                "--save-dir", str(tmp_path / "params")], timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "vgmidi train - " in out.stdout
+    assert "[vgmidi train]" in out.stdout and "[vgmidi test]" in out.stdout
+    assert "acc_q_x_r" in out.stdout and "acc_q_x_n" in out.stdout
+
+    # arousal transfer off the just-trained checkpoint, picking its source
+    # segment from the same ragged test split (notebook cells 8-17 path)
+    out = _run(["arousal_transfer.py", "--platform", "cpu",
+                "--vgmidi-dir", str(tmp_path),
+                "--save-dir", str(tmp_path / "params"),
+                "--steps", "30", "--synthetic-size", "48",
+                "--out", str(tmp_path / "t.mid")], timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(tmp_path / "t.mid")
+
+
 def test_parity_harness_on_synthetic_standins(tmp_path):
     """parity.py end-to-end on synthetic stand-ins for the released blobs:
     an exported .pt (round-trip + torch forward parity + Table-1 eval) and a

@@ -35,6 +35,71 @@ def vgmidi():
                          mode="train").arrays()
 
 
+def test_vgmidi_ragged_reference_semantics():
+    """The released VGMIDI arrays are dtype=object arrays of variable-length
+    per-song sequences; the reference re-inserts EOS before each token row's
+    last element, zero-pads to the split max, and computes densities on the
+    UNPADDED tracks (reference ptb_v2.py:459-473)."""
+    from collections import Counter
+
+    rng = np.random.default_rng(3)
+    n_rows = 12
+    d_rows = [rng.integers(2, 342, size=rng.integers(5, 20)).astype(np.int64)
+              for _ in range(n_rows)]
+    r_rows = [rng.integers(0, 3, size=rng.integers(4, 9)).astype(np.int64)
+              for _ in range(n_rows)]
+    n_rows_ = [rng.integers(0, 5, size=rng.integers(4, 9)).astype(np.int64)
+               for _ in range(n_rows)]
+
+    def obj(rows):
+        out = np.empty(len(rows), dtype=object)
+        for i, r in enumerate(rows):
+            out[i] = r
+        return out
+
+    chroma = rng.random((n_rows, 24))
+    arousal = rng.normal(0, 1, n_rows)
+    valence = rng.normal(0, 1, n_rows)
+    ds = VGMIDIDataset(obj(d_rows), obj(r_rows), obj(n_rows_), chroma,
+                       arousal, valence, mode="train")
+    tlen = int(0.9 * n_rows)
+    assert len(ds) == tlen
+    # EOS inserted at position -1 of each row, zero pad to split max
+    max_t = max(len(r) for r in d_rows[:tlen]) + 1
+    assert ds.data.shape == (tlen, max_t)
+    for i, row in enumerate(d_rows[:tlen]):
+        want = np.insert(row, -1, 1)
+        np.testing.assert_array_equal(ds.data[i, : len(want)], want)
+        assert (ds.data[i, len(want):] == 0).all()
+    # densities computed on the UNPADDED tracks (Counter / sum semantics)
+    for i in range(tlen):
+        want_r = Counter(list(r_rows[i]))[1] / len(r_rows[i])
+        want_n = sum(n_rows_[i]) / len(n_rows_[i])
+        np.testing.assert_allclose(ds.r_density[i], want_r, rtol=1e-6)
+        np.testing.assert_allclose(ds.n_density[i], want_n, rtol=1e-6)
+    # rhythm/note padded to their own split maxes
+    assert ds.rhythm.shape[1] == max(len(r) for r in r_rows[:tlen])
+    assert ds.note.shape[1] == max(len(r) for r in n_rows_[:tlen])
+    # arousal binarized at 0 (ptb_v2.py:472-473)
+    np.testing.assert_array_equal(ds.arousal,
+                                  (arousal[:tlen] >= 0).astype(np.int32))
+
+
+def test_vgmidi_ragged_trains():
+    """GM-VAE supervised epoch straight off the ragged released format."""
+    from music_fader_nets_tpu.data.synthetic import synth_vgmidi_ragged
+
+    data, rhythm, note, arousal, valence, chroma = synth_vgmidi_ragged(
+        32, 60, 8, seed=5)
+    assert data.dtype == object and len({len(r) for r in data}) > 1
+    ds = VGMIDIDataset(data, rhythm, note, chroma, arousal, valence,
+                       mode="train")
+    tr = Trainer(CFG, models.init_reg_gmvae, {
+        "supervised": functools.partial(gmm_loss, is_supervised=True)})
+    m = tr.run_epoch(ds.arrays(), variant="supervised", seed=0, batch_size=8)
+    assert np.isfinite(m["loss"]) and m["clf"] > 0.0
+
+
 def test_vanilla_loss_decreases(yamaha):
     tr = Trainer(CFG, models.init_reg_vae, {"default": vanilla_loss})
     m1 = tr.run_epoch(yamaha, seed=1)
