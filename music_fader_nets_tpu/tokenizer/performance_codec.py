@@ -43,6 +43,25 @@ _MIN_VEL, _MAX_VEL = 1, 127
 _VEL_BIN_SIZE = -(-(_MAX_VEL - _MIN_VEL + 1) // NUM_VELOCITY_BINS)  # ceil=2
 
 
+def token_role(t: int) -> str:
+    """Human-readable role of a token id — for parity diagnostics
+    (parity.py::check_token_stream first-divergence reports)."""
+    t = int(t)
+    if t == PAD:
+        return "PAD"
+    if t == EOS:
+        return "EOS"
+    if NOTE_ON_BASE <= t < NOTE_OFF_BASE:
+        return f"ON(p{t - NOTE_ON_BASE + MIN_PITCH})"
+    if NOTE_OFF_BASE <= t < SHIFT_BASE:
+        return f"OFF(p{t - NOTE_OFF_BASE + MIN_PITCH})"
+    if SHIFT_BASE <= t < VEL_BASE:
+        return f"SHIFT({t - SHIFT_BASE + 1})"
+    if VEL_BASE <= t < EVENT_DIMS:
+        return f"VEL(b{t - VEL_BASE + 1})"
+    return f"INVALID({t})"
+
+
 def velocity_to_bin(velocity: int) -> int:
     v = max(_MIN_VEL, min(_MAX_VEL, velocity))
     return (v - _MIN_VEL) // _VEL_BIN_SIZE + 1
@@ -73,8 +92,13 @@ def performance_encode(notes: List[MidiNote], add_eos: bool = False) -> List[int
         return toks.tolist()
     events = []                                  # (step, sort_idx, is_off, i)
     for i, n in enumerate(notes):
-        on_step = int(round(n.start * STEPS_PER_SECOND))
-        off_step = max(on_step + 1, int(round(n.end * STEPS_PER_SECOND)))
+        # Magenta's sequences_lib.quantize_to_step with QUANTIZE_CUTOFF=0.5:
+        # int(seconds * sps + 0.5). Python round() would bankers-round exact
+        # half-steps DOWN half the time (round(12.5) == 12) — and MIDI tick
+        # grids land on exact half-steps constantly — so the formula must be
+        # the fork's add-then-truncate, bit for bit.
+        on_step = int(n.start * STEPS_PER_SECOND + 0.5)
+        off_step = max(on_step + 1, int(n.end * STEPS_PER_SECOND + 0.5))
         events.append((on_step, i, False))
         events.append((off_step, i, True))
     events.sort(key=lambda e: (e[0], e[1], e[2]))

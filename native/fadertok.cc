@@ -67,8 +67,11 @@ PyObject* perf_encode(PyObject*, PyObject* args) {
   std::vector<PerfEvent> evs;
   evs.reserve(2 * n);
   for (npy_intp i = 0; i < n; ++i) {
-    int64_t on = llround(start[i] * kStepsPerSecond);
-    int64_t off = llround(end[i] * kStepsPerSecond);
+    // Magenta's quantize_to_step: int(seconds * sps + (1 - QUANTIZE_CUTOFF))
+    // with cutoff 0.5 — double add then truncate, NOT llround (they differ
+    // when x + 0.5 rounds up across an integer, e.g. x = nextafter(.5, 0))
+    int64_t on = static_cast<int64_t>(start[i] * kStepsPerSecond + 0.5);
+    int64_t off = static_cast<int64_t>(end[i] * kStepsPerSecond + 0.5);
     if (off <= on) off = on + 1;
     evs.push_back({on, i, 0});
     evs.push_back({off, i, 1});

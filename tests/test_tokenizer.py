@@ -220,6 +220,73 @@ def test_corpus_feeds_training(midi_corpus):
     assert np.isfinite(m["loss"])
 
 
+def test_performance_quantize_half_step_rounds_up():
+    """Magenta's quantize_to_step is int(sec*100 + 0.5): exact half-steps
+    round UP. Python round() would bankers-round 12.5 -> 12 — and MIDI tick
+    grids land on exact half-steps constantly (e.g. the 0.125 s grid of the
+    synthetic corpus: 0.125*100 == 12.5 exactly)."""
+    notes = [MidiNote(60, 80, 0.125, 0.375)]     # 12.5 -> 13, 37.5 -> 38
+    toks = performance_codec.performance_encode(notes)
+    # [shift(13), vel, on, shift(25), off] — shift covers the gap to the
+    # event step, THEN the velocity event fires at that step
+    assert toks == [performance_codec.SHIFT_BASE + 13 - 1,
+                    performance_codec.VEL_BASE + 40 - 1,
+                    performance_codec.NOTE_ON_BASE + 60 - 21,
+                    performance_codec.SHIFT_BASE + 25 - 1,
+                    performance_codec.NOTE_OFF_BASE + 60 - 21]
+    # pure-Python path must agree bit for bit
+    from music_fader_nets_tpu import native
+    flag = native.HAVE_NATIVE
+    try:
+        native.HAVE_NATIVE = False
+        assert performance_codec.performance_encode(notes) == toks
+    finally:
+        native.HAVE_NATIVE = flag
+
+
+def test_performance_tiebreak_off_before_on_same_step():
+    """At one quantized step, Magenta orders events by NOTE index (sorted by
+    (start, pitch)): an earlier note's OFF precedes a later note's ON; a
+    single note's ON precedes its own OFF."""
+    notes = [MidiNote(60, 80, 0.0, 1.0), MidiNote(64, 80, 1.0, 2.0)]
+    toks = performance_codec.performance_encode(notes)
+    ON, OFF, SH = (performance_codec.NOTE_ON_BASE,
+                   performance_codec.NOTE_OFF_BASE,
+                   performance_codec.SHIFT_BASE)
+    assert toks == [performance_codec.VEL_BASE + 40 - 1, ON + 39,
+                    SH + 99, OFF + 39, ON + 43,     # off(60) BEFORE on(64)
+                    SH + 99, OFF + 43]
+    # zero-length note: forced to 1 step, ON then OFF of the SAME note in
+    # index order (is_off breaks the tie within one note)
+    toks2 = performance_codec.performance_encode(
+        [MidiNote(72, 80, 0.5, 0.5)])
+    assert toks2 == [SH + 49, performance_codec.VEL_BASE + 40 - 1, ON + 51,
+                     SH + 0, OFF + 51]
+
+
+def test_performance_velocity_bin_change_mid_chord():
+    """Chord with different velocity bins: VEL re-emitted before each ON
+    whose bin differs from the running bin, in pitch order."""
+    notes = [MidiNote(60, 80, 0.0, 0.5), MidiNote(64, 20, 0.0, 0.5),
+             MidiNote(67, 80, 0.0, 0.5)]
+    toks = performance_codec.performance_encode(notes)
+    ON = performance_codec.NOTE_ON_BASE
+    v80 = performance_codec.VEL_BASE + 40 - 1     # bin(80) = 40
+    v20 = performance_codec.VEL_BASE + 10 - 1     # bin(20) = 10
+    assert toks[:6] == [v80, ON + 39, v20, ON + 43, v80, ON + 46]
+
+
+def test_performance_long_gap_shift_splitting():
+    """Gaps longer than 100 steps: max shifts then the remainder
+    (Magenta emits MAX_SHIFT_STEPS chunks)."""
+    notes = [MidiNote(60, 80, 0.0, 0.1), MidiNote(62, 80, 2.5, 2.6)]
+    toks = performance_codec.performance_encode(notes)
+    SH = performance_codec.SHIFT_BASE
+    # [vel, on60, shift10, off60, | gap 240 -> 100+100+40 |, on62, ...]
+    seg = toks[4:7]
+    assert seg == [SH + 99, SH + 99, SH + 39]
+
+
 def test_performance_codec_golden_stream():
     """Pinned token stream for a fixed note list — regression guard for the
     342-vocab encoder (velocity-bin changes, max-shift splitting, re-strike,
