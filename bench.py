@@ -214,6 +214,14 @@ def main():
         "decode300_p50_ms": (round(decode_p50 * 1e3, 2)
                              if decode_p50 is not None else None),
     }
+    # which path served the decode number — a kernel regression must not
+    # silently demote the headline to the scan (ops/pallas_decode.py)
+    from music_fader_nets_tpu.ops import pallas_decode
+    result["decode_path"] = pallas_decode.LAST_DECODE_PATH
+    if pallas_decode.LAST_DECODE_PATH != "kernel":
+        print(f"# WARNING: decode served by "
+              f"{pallas_decode.LAST_DECODE_PATH!r}, not the pallas kernel",
+              file=sys.stderr)
 
     long_note = ""
     if not args.skip_long:
@@ -238,6 +246,7 @@ def main():
         os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
         with open(LAST_GOOD, "w") as f:
             json.dump({**result, "measured_at_unix": round(time.time())}, f)
+            f.write("\n")
     print(f"# step={step_t * 1e3:.2f}ms B={args.batch_size} T={args.seq_len} "
           f"dtype={args.dtype}; p50 300-step B=1 decode="
           f"{decode_p50 * 1e3:.2f}ms (pallas); torch-cpu baseline="

@@ -164,16 +164,36 @@ def _scan_decode_tokens(gview: Dict, z: jax.Array, steps: int) -> jax.Array:
     return jnp.argmax(logp, axis=-1).astype(jnp.int32)
 
 
+# which path served the LAST greedy_decode_tokens call: "kernel",
+# "scan-fallback" (kernel raised), "scan-large-batch" (>64 rows), or
+# "scan" (use_pallas=False). bench.py reports this in its JSON line so a
+# kernel regression can't silently demote the flagship decode number to
+# the slow path (round-3 VERDICT "what's weak" #2).
+LAST_DECODE_PATH = None
+
+# exceptions that legitimately reroute to the scan: backends with no
+# Mosaic lowering (CPU), kernel compile/launch failures. Anything else
+# (TypeError, shape bugs, ...) propagates — it is a code bug, not an
+# environment limitation.
+_FALLBACK_ERRORS = (NotImplementedError, ValueError,
+                    jax.errors.JaxRuntimeError)
+
+_warned_fallback = False
+
+
 def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
                          use_pallas: bool = True,
                          interpret: bool = False) -> jax.Array:
     """Token-level greedy decode with automatic fallback to the XLA scan
     when the kernel path is unavailable (e.g. very large batches whose
-    carries would not fit VMEM next to the weights).
+    carries would not fit VMEM next to the weights). The fallback is never
+    silent: the first reroute warns, and `LAST_DECODE_PATH` records which
+    path served every call.
 
     Both paths are module-level jits with static `steps`, so compiles are
     cached process-wide — callers must NOT wrap this in another jax.jit
     (nesting would defeat the cache and recompile per wrapper)."""
+    global LAST_DECODE_PATH, _warned_fallback
     # the kernel wins when the per-step weight traffic dominates (small B:
     # 2.4x at B=1-8, the transfer path). For larger waves the measured
     # winner (benchmarks/decode_crossover.py, M=160 steps=100, v5e) is
@@ -184,7 +204,18 @@ def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     # chunk loop inside other jits).
     if use_pallas and z.shape[0] <= 64:
         try:
-            return pallas_greedy_decode(gview, z, steps, interpret=interpret)
-        except Exception:
-            pass
+            out = pallas_greedy_decode(gview, z, steps, interpret=interpret)
+            LAST_DECODE_PATH = "kernel"
+            return out
+        except _FALLBACK_ERRORS as e:
+            if not _warned_fallback:
+                import warnings
+                warnings.warn(
+                    "pallas decode kernel unavailable, falling back to the "
+                    f"XLA scan ({type(e).__name__}: {str(e)[:200]})",
+                    RuntimeWarning, stacklevel=2)
+                _warned_fallback = True
+            LAST_DECODE_PATH = "scan-fallback"
+    else:
+        LAST_DECODE_PATH = ("scan-large-batch" if use_pallas else "scan")
     return _scan_decode_tokens(gview, z, steps)

@@ -34,18 +34,33 @@ def test_pallas_b1_transfer_shape():
     assert got.min() >= 0 and got.max() < 342
 
 
-def test_greedy_decode_tokens_fallback():
-    """On CPU without interpret, the compiled kernel path fails and the
-    helper must silently fall back to the XLA scan."""
+def test_greedy_decode_tokens_fallback_warns_and_records():
+    """On CPU without interpret, the compiled kernel path fails; the helper
+    falls back to the XLA scan, but NOT silently: first reroute warns, and
+    LAST_DECODE_PATH records the serving path (round-3 VERDICT weak #2)."""
+    import pytest
+    from music_fader_nets_tpu.ops import pallas_decode
+
     gv = _sharp_gview()
     z = jax.random.normal(jax.random.PRNGKey(3), (2, 280))
     ref = np.argmax(np.asarray(global_decoder_greedy(gv, z, 15)), -1)
-    got = np.asarray(greedy_decode_tokens(gv, z, 15, use_pallas=True))
+    pallas_decode._warned_fallback = False
+    with pytest.warns(RuntimeWarning, match="pallas decode kernel"):
+        got = np.asarray(greedy_decode_tokens(gv, z, 15, use_pallas=True))
     np.testing.assert_array_equal(ref, got)
+    assert pallas_decode.LAST_DECODE_PATH == "scan-fallback"
+    # warn-once: second reroute is quiet but still recorded
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        greedy_decode_tokens(gv, z, 15, use_pallas=True)
+    assert pallas_decode.LAST_DECODE_PATH == "scan-fallback"
 
 
 def test_large_batch_uses_scan():
+    from music_fader_nets_tpu.ops import pallas_decode
     gv = _sharp_gview()
     z = jax.random.normal(jax.random.PRNGKey(4), (80, 280))   # > 64 cap
     got = np.asarray(greedy_decode_tokens(gv, z, 10))
     assert got.shape == (80, 10)
+    assert pallas_decode.LAST_DECODE_PATH == "scan-large-batch"
