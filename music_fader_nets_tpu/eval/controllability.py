@@ -95,7 +95,11 @@ def _r2(x: np.ndarray, y: np.ndarray) -> float:
     vy = y - y.mean()
     ss_tot = float((vy * vy).sum())
     if ss_tot == 0.0:
-        return 0.0          # degenerate target: no variance explained score
+        # constant target: sklearn's LinearRegression fits intercept=mean,
+        # slope=0, so residuals are exactly 0 and `.score` returns 1.0
+        # (r2_score's nonzero_numerator & ~nonzero_denominator rule) —
+        # mirror that convention (reference test_class.py:268-272)
+        return 1.0
     denom = float((vx * vx).sum())
     slope = float((vx * vy).sum()) / denom if denom > 0 else 0.0
     resid = y - (y.mean() + slope * vx)

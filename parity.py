@@ -273,11 +273,16 @@ def check_token_stream(tokens_path: str, limit: int) -> bool:
     (reference ptb_v2.py:375-379 fixture; our codec must reproduce the
     Magenta fork's stream)."""
     from music_fader_nets_tpu.tokenizer.performance_codec import (
-        EOS, performance_decode, performance_encode,
+        EOS, performance_decode, performance_encode, token_role,
     )
+
+    def fmt(window):
+        return " ".join(f"{t}:{token_role(t)}" for t in window)
+
     rows = np.load(tokens_path, allow_pickle=True)
     n = len(rows) if limit <= 0 else min(limit, len(rows))
-    exact, first_bad = 0, None
+    exact, bad_rows, first_bads = 0, 0, []
+    role_mismatch = {}
     for i in range(n):
         toks = [int(t) for t in np.asarray(rows[i]).ravel()]
         while toks and toks[-1] == 0:
@@ -287,17 +292,32 @@ def check_token_stream(tokens_path: str, limit: int) -> bool:
         back = performance_encode(performance_decode(toks))
         if back == toks:
             exact += 1
-        elif first_bad is None:
-            k = next((j for j in range(min(len(back), len(toks)))
-                      if back[j] != toks[j]), min(len(back), len(toks)))
-            first_bad = (i, k, toks[max(0, k - 2): k + 3],
-                         back[max(0, k - 2): k + 3])
+            continue
+        bad_rows += 1
+        k = next((j for j in range(min(len(back), len(toks)))
+                  if back[j] != toks[j]), min(len(back), len(toks)))
+        ref_t = toks[k] if k < len(toks) else None
+        got_t = back[k] if k < len(back) else None
+        kind = (f"{token_role(ref_t) if ref_t is not None else 'END'}"
+                " -> "
+                f"{token_role(got_t) if got_t is not None else 'END'}")
+        role_mismatch[kind] = role_mismatch.get(kind, 0) + 1
+        if len(first_bads) < 3:
+            first_bads.append((i, k, len(toks), len(back),
+                               toks[max(0, k - 3): k + 4],
+                               back[max(0, k - 3): k + 4]))
     rate = exact / max(n, 1)
     print(f"[4] token-stream re-encode: {exact}/{n} rows exact "
           f"({100 * rate:.2f}%)")
-    if first_bad:
-        i, k, a, b = first_bad
-        print(f"  first mismatch: row {i} pos {k}: ref ...{a}... got ...{b}...")
+    for i, k, lt, lb, a, b in first_bads:
+        print(f"  row {i} diverges at pos {k} (ref len {lt}, ours {lb}):\n"
+              f"    ref  ... {fmt(a)} ...\n"
+              f"    ours ... {fmt(b)} ...")
+    if role_mismatch:
+        top = sorted(role_mismatch.items(), key=lambda kv: -kv[1])[:6]
+        print("  divergence histogram (ref-role -> our-role at first "
+              "divergence): "
+              + ", ".join(f"{k} x{v}" for k, v in top))
     ok = rate == 1.0
     print("[4]", "PASS" if ok else "FAIL")
     return ok

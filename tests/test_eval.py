@@ -50,6 +50,46 @@ def test_r2_matches_linregress():
     assert abs(_r2(x, y) - reg.score(x[:, None], y[:, None])) < 1e-9
 
 
+def test_r2_constant_target_matches_sklearn():
+    """Constant target: LinearRegression fits slope 0 / intercept mean, so
+    residuals are 0 and .score returns 1.0 — our _r2 must agree
+    (reference test_class.py:268-272 uses .score directly)."""
+    from sklearn.linear_model import LinearRegression
+    x = np.array([0., 1, 2, 3])
+    y = np.full(4, 2.5)
+    reg = LinearRegression().fit(x[:, None], y[:, None])
+    want = reg.score(x[:, None], y[:, None])
+    assert _r2(x, y) == want == 1.0
+
+
+def test_reconstruction_report_qyx_accuracy():
+    """Pin the GM-VAE supervised-split arousal-classification accuracy
+    (argmax qy_x vs label, reference trainer_gmm.py:570-578) on a stubbed
+    forward with hand-computed posteriors."""
+    import jax.numpy as jnp
+
+    B, T = 4, 6
+    arrays = {
+        "x": np.tile(np.arange(1, T + 1), (2 * B, 1)).astype(np.int32),
+        "a": np.array([0, 1, 1, 0] * 2, np.int32),
+    }
+    # qy_x argmax per row: [0, 1, 0, 0] vs labels [0, 1, 1, 0] -> 3/4
+    qy = jnp.asarray(np.array([[0.9, 0.1], [0.2, 0.8],
+                               [0.7, 0.3], [0.6, 0.4]], np.float32))
+
+    def forward(params, rng, batch):
+        # perfect token predictions so acc_x pins to 1.0 alongside
+        logp = jnp.log(jax.nn.one_hot(batch["x"], 8) * 0.999 + 1e-4)
+        return {"out": logp, "qy_x_r": qy, "qy_x_n": 1.0 - qy}
+
+    rep = reconstruction_report(None, forward, arrays, CFG, batch_size=B,
+                                has_subdecoders=False)
+    assert abs(rep["acc_x"] - 1.0) < 1e-6
+    assert abs(rep["acc_q_x_r"] - 0.75) < 1e-9
+    # flipped posteriors: argmax [1, 0, 1, 1] vs [0, 1, 1, 0] -> 1/4
+    assert abs(rep["acc_q_x_n"] - 0.25) < 1e-9
+
+
 def test_latent_stats(arrays):
     params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
 
