@@ -30,6 +30,9 @@ def main():
                     help="print plane/line structure instead of aggregating")
     ap.add_argument("--no-embed", action="store_true",
                     help="disable the embedded-token encoder kernel")
+    ap.add_argument("--epoch", action="store_true",
+                    help="trace the compiled-epoch program (bench.py's "
+                         "path) instead of per-step dispatches")
     args = ap.parse_args()
     if args.no_embed:
         from music_fader_nets_tpu.ops import gru as gru_mod
@@ -60,15 +63,38 @@ def main():
     batches = [b for b in batch_iterator(arrays, cfg.batch_size,
                                          shuffle=False)][:4]
     rng = tr.base_rng
-    step_fn = tr._train_steps["default"]
 
     tmp = tempfile.mkdtemp(prefix="xla_trace_")
-    jax.profiler.start_trace(tmp)
-    for i in range(args.iters):
-        tr.state, m = step_fn(tr.state, batches[i % len(batches)], rng)
-    sync = float(np.asarray(m["loss"]))  # real sync: block_until_ready lies
-    jax.profiler.stop_trace()
-    print(f"traced {args.iters} steps (loss={sync:.3f})", flush=True)
+    if args.epoch:
+        # trace the COMPILED-EPOCH program (lax.scan over stacked batches) —
+        # the path bench.py and every trainer CLI actually time; per-step
+        # overhead beyond the step program (batch slicing, metric stacking)
+        # shows up only here
+        stacked, nb = tr._stack_epoch(arrays, cfg.batch_size, False, 0)
+        stacked = {k: v[: args.iters] for k, v in stacked.items()}
+        nb = min(nb, args.iters)
+        key = ("default", True, nb, cfg.batch_size)
+        if key not in tr._epoch_fns:
+            tr._epoch_fns[key] = tr._build_epoch_fn(
+                tr._loss_fns["default"], True)
+        fn = tr._epoch_fns[key]
+        tr.state, m = fn(tr.state, stacked, rng)          # compile + warm
+        float(np.asarray(m["loss"]))
+        jax.profiler.start_trace(tmp)
+        tr.state, m = fn(tr.state, stacked, rng)
+        sync = float(np.asarray(m["loss"]))
+        jax.profiler.stop_trace()
+        args.iters = nb
+        print(f"traced one epoch program of {nb} steps (loss={sync:.3f})",
+              flush=True)
+    else:
+        step_fn = tr._train_steps["default"]
+        jax.profiler.start_trace(tmp)
+        for i in range(args.iters):
+            tr.state, m = step_fn(tr.state, batches[i % len(batches)], rng)
+        sync = float(np.asarray(m["loss"]))  # block_until_ready lies
+        jax.profiler.stop_trace()
+        print(f"traced {args.iters} steps (loss={sync:.3f})", flush=True)
 
     files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
     assert files, f"no xplane under {tmp}"
