@@ -174,6 +174,22 @@ class Trainer:
                     sh, np.asarray(x), (gb,) + x.shape[1:]), batch)
         return mesh_lib.shard_batch(batch, self.mesh)
 
+    def _place_stacked(self, stacked, nb: int, bs: int):
+        """Place (nb, B, ...) stacked epoch arrays on device (mesh-aware)."""
+        if self.mesh is None:
+            return jax.device_put(stacked)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
+        if jax.process_count() > 1:
+            # assemble global (nb, bs, ...) arrays from each host's
+            # (nb, bs/pc, ...) slice — device_put would wrongly treat the
+            # host-local slice as the global value
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sh, x, (nb, bs) + x.shape[2:]), stacked)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh),
+                                      stacked)
+
     def _stack_epoch(self, arrays, bs, shuffle, seed):
         """(n_batches, B, ...) stacked epoch arrays (host-side gather)."""
         n = len(next(iter(arrays.values())))
@@ -215,19 +231,7 @@ class Trainer:
             if key not in self._epoch_fns:
                 self._epoch_fns[key] = self._build_epoch_fn(
                     self._loss_fns[variant], train)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
-                if jax.process_count() > 1:
-                    # assemble global (nb, bs, ...) arrays from each host's
-                    # (nb, bs/pc, ...) slice — device_put would wrongly
-                    # treat the host-local slice as the global value
-                    stacked = jax.tree_util.tree_map(
-                        lambda x: jax.make_array_from_process_local_data(
-                            sh, x, (nb, bs) + x.shape[2:]), stacked)
-                else:
-                    stacked = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, sh), stacked)
+            stacked = self._place_stacked(stacked, nb, bs)
             rng = jax.random.fold_in(self.base_rng, self._host_step)
             self._host_step += nb
             if train:
@@ -323,6 +327,12 @@ class Trainer:
             self._epoch_fns[key] = self._build_epoch_fn(
                 self._loss_fns[variant], True)
         fn = self._epoch_fns[key]
+        # place the stacked batches on device ONCE, outside the timed
+        # windows: passing host numpy would re-transfer the whole epoch
+        # through the (slow, tunneled) host link on every call — measured
+        # ~0.4 ms/step of pure transfer at nb=20, while a real training
+        # epoch amortizes its one transfer over the full corpus
+        stacked = self._place_stacked(stacked, nb, bs)
         rng = self.base_rng
         # fresh buffers: the epoch fn donates its state argument, so timing
         # on self.state directly would invalidate AND advance the live state
