@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
     encode_streams_fused,
+    encode_streams_fused_packed,
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
@@ -31,6 +32,7 @@ from music_fader_nets_tpu.models.modules import (
 from music_fader_nets_tpu.models.vae import (
     _enc_view,
     _global_view,
+    _sub_pair_apply,
     _sub_view,
     init_reg_vae,
     reg_vae_encode,
@@ -119,8 +121,8 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     log_logit_n, qy_x_n = approx_qy_x(z_n, params["mu_n_lookup"],
                                       params["logvar_n_lookup"])
 
-    r_out, n_out = sub_decoder_pair_apply(
-        _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
+    r_out, n_out = _sub_pair_apply(
+        params, r_oh, n_oh, z_r, z_n,
         cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
@@ -172,9 +174,15 @@ def init_single_gmvae(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
 def single_gmvae_forward(params, rng, x_oh, cfg: ModelConfig,
                          train: bool = True, tokens=None) -> Dict:
     pal = cfg.use_pallas_gru
-    view = {"gru": params["gru"], "mu": params["mu"], "var": params["var"]}
-    mu, std = encode_streams_fused([view], x_oh, use_pallas=pal,
-                                   tokens=tokens)[0]
+    if "enc_1" in params:
+        mu, std = encode_streams_fused_packed(
+            params["enc_1"], [(params["mu"], params["var"])], x_oh,
+            use_pallas=pal, tokens=tokens)[0]
+    else:
+        view = {"gru": params["gru"], "mu": params["mu"],
+                "var": params["var"]}
+        mu, std = encode_streams_fused([view], x_oh, use_pallas=pal,
+                                       tokens=tokens)[0]
     z = reparameterize(rng, mu, std)
     log_logit, qy_x = approx_qy_x(z, params["mu_lookup"], params["logvar_lookup"])
     if train:

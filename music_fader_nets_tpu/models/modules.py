@@ -34,6 +34,7 @@ from music_fader_nets_tpu.ops.gru import (
     linear_apply,
     linear_init,
     multi_gru_final_states,
+    multi_gru_final_states_packed,
     stacked_gru_scan,
 )
 
@@ -59,6 +60,26 @@ def encoder_stream_apply(p, x_oh: jax.Array) -> Tuple[jax.Array, jax.Array]:
     mu = linear_apply(p["mu"], h)
     std = jnp.exp(linear_apply(p["var"], h))
     return mu, std
+
+
+def encode_streams_fused_packed(enc: dict, heads: list, x_oh: jax.Array,
+                                use_pallas: bool = False, tokens=None):
+    """`encode_streams_fused` over a pre-stacked fast-layout encoder group
+    (models/fast.py `enc_rn`/`enc_1`/`enc_e`: directions [s0.fwd, s0.bwd,
+    s1.fwd, ...], w_ih pre-padded to the kernel's lane-aligned vocab).
+    heads: [(mu_params, var_params)] per stream. Numerics identical to the
+    canonical path — the stack/pad that otherwise runs every step was done
+    once at the jit boundary."""
+    reverse = [False, True] * len(heads)
+    finals = multi_gru_final_states_packed(
+        enc["w_ih_p"], enc["b_ih"], enc["w_hh"], enc["b_hh"], x_oh, reverse,
+        use_pallas=use_pallas, tokens=tokens)                # (2S, B, H)
+    out = []
+    for i, (mu_p, var_p) in enumerate(heads):
+        h = jnp.concatenate([finals[2 * i], finals[2 * i + 1]], axis=-1)
+        out.append((linear_apply(mu_p, h),
+                    jnp.exp(linear_apply(var_p, h))))
+    return out
 
 
 def encode_streams_fused(views: list, x_oh: jax.Array,
@@ -151,6 +172,42 @@ def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
             jax.nn.log_softmax(n_logits.astype(jnp.float32), axis=axis))
 
 
+def sub_decoder_pair_apply_packed(sub: dict, init_r, init_n, out_r, out_n,
+                                  r_oh, n_oh, z_r, z_n,
+                                  faithful_softmax_axis: bool = True,
+                                  use_pallas: bool = False):
+    """`sub_decoder_pair_apply` over the fast-layout `sub_rn` group
+    (models/fast.py): both streams' w_ih share one stacked (2, Dm+Z, 3H)
+    tensor with input rows [track padded to Dm, z], so the whole hoisted
+    input projection is ONE batched einsum producing the time-major
+    (2, T, B, 3H) `pre` directly — no per-step stack of the two (B, T, 3H)
+    projections (that stack wrote ~25 MB/step at reference dims)."""
+    B, T, _ = r_oh.shape
+    Z = z_r.shape[-1]
+    dm = sub["w_ih"].shape[1] - Z
+
+    def inp(track_oh, z):
+        pad = dm - track_oh.shape[-1]
+        if pad:
+            track_oh = jnp.concatenate(
+                [track_oh, jnp.zeros((B, T, pad), track_oh.dtype)], axis=-1)
+        z_rep = jnp.broadcast_to(z[:, None, :], (B, T, Z))
+        return jnp.concatenate([track_oh, z_rep.astype(track_oh.dtype)],
+                               axis=-1)
+
+    x = jnp.stack([inp(r_oh, z_r), inp(n_oh, z_n)])          # (2, B, T, Dm+Z)
+    pre = (jnp.einsum("lbti,lig->ltbg", x, sub["w_ih"])
+           + sub["b_ih"][:, None, None, :])
+    h0 = jnp.stack([linear_apply(init_r, z_r), linear_apply(init_n, z_n)])
+    outs, _ = stacked_gru_scan(pre, sub["w_hh"], sub["b_hh"], h0,
+                               use_pallas=use_pallas)        # (2, T, B, H)
+    axis = 1 if faithful_softmax_axis else -1
+    r_logits = linear_apply(out_r, jnp.swapaxes(outs[0], 0, 1))
+    n_logits = linear_apply(out_n, jnp.swapaxes(outs[1], 0, 1))
+    return (jax.nn.log_softmax(r_logits.astype(jnp.float32), axis=axis),
+            jax.nn.log_softmax(n_logits.astype(jnp.float32), axis=axis))
+
+
 # ---------------------------------------------------------------------------
 # Global autoregressive decoder
 # ---------------------------------------------------------------------------
@@ -170,7 +227,10 @@ def global_decoder_init(key, z_total: int, roll_dims: int, hidden: int, dtype=jn
 
 
 def _split_w_ih(p, roll_dims: int):
-    w_ih = p["grucell_g"]["w_ih"]            # (V + Z, 3H)
+    g = p["grucell_g"]
+    if "w_tok_p" in g:                       # fast layout: pre-split at the
+        return g["w_tok_p"][:roll_dims], g["w_z"]  # vocab boundary
+    w_ih = g["w_ih"]                         # (V + Z, 3H)
     return w_ih[:roll_dims], w_ih[roll_dims:]
 
 

@@ -21,12 +21,14 @@ import jax.numpy as jnp
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.modules import (
     encode_streams_fused,
+    encode_streams_fused_packed,
     global_decoder_greedy,
     global_decoder_init,
     global_decoder_teacher,
     global_decoder_teacher_nll,
     sub_decoder_apply,
     sub_decoder_pair_apply,
+    sub_decoder_pair_apply_packed,
 )
 from music_fader_nets_tpu.ops.gru import (
     bigru_init,
@@ -54,6 +56,20 @@ def _sub_view(params, suffix: str):
         "init": params[f"linear_init_{suffix}"],
         "out": params[f"linear_out_{suffix}"],
     }
+
+
+def _sub_pair_apply(params, r_oh, n_oh, z_r, z_n, faithful_axis, use_pallas):
+    """Both attribute sub-decoders, dispatching on the param layout
+    (canonical vs fast — models/fast.py)."""
+    if "sub_rn" in params:
+        return sub_decoder_pair_apply_packed(
+            params["sub_rn"],
+            params["linear_init_r"], params["linear_init_n"],
+            params["linear_out_r"], params["linear_out_n"],
+            r_oh, n_oh, z_r, z_n, faithful_axis, use_pallas=use_pallas)
+    return sub_decoder_pair_apply(
+        _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
+        faithful_axis, use_pallas=use_pallas)
 
 
 def _global_view(params):
@@ -105,7 +121,15 @@ def reg_vae_encode(params, x_oh, use_pallas: bool = False, tokens=None
                               Tuple[jax.Array, jax.Array]]:
     """Returns ((mu_r, std_r), (mu_n, std_n)). reference model_v2.py:81-97.
     Both streams' bi-GRU directions run in one fused scan (the embedded-
-    token pallas kernel when `tokens` is given and x_oh = one_hot(tokens))."""
+    token pallas kernel when `tokens` is given and x_oh = one_hot(tokens)).
+    Accepts the canonical pytree or the fast layout (models/fast.py)."""
+    if "enc_rn" in params:
+        (mu_r, std_r), (mu_n, std_n) = encode_streams_fused_packed(
+            params["enc_rn"],
+            [(params["mu_r"], params["var_r"]),
+             (params["mu_n"], params["var_n"])], x_oh,
+            use_pallas=use_pallas, tokens=tokens)
+        return (mu_r, std_r), (mu_n, std_n)
     (mu_r, std_r), (mu_n, std_n) = encode_streams_fused(
         [_enc_view(params, "r"), _enc_view(params, "n")], x_oh,
         use_pallas=use_pallas, tokens=tokens)
@@ -143,8 +167,8 @@ def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
     z_r = reparameterize(rng_r, mu_r, std_r)
     z_n = reparameterize(rng_n, mu_n, std_n)
 
-    r_out, n_out = sub_decoder_pair_apply(
-        _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
+    r_out, n_out = _sub_pair_apply(
+        params, r_oh, n_oh, z_r, z_n,
         cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
@@ -189,6 +213,10 @@ def init_single_vae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
 
 
 def single_vae_encode(params, x_oh, use_pallas: bool = False, tokens=None):
+    if "enc_1" in params:
+        return encode_streams_fused_packed(
+            params["enc_1"], [(params["mu"], params["var"])], x_oh,
+            use_pallas=use_pallas, tokens=tokens)[0]
     view = {"gru": params["gru"], "mu": params["mu"], "var": params["var"]}
     return encode_streams_fused([view], x_oh, use_pallas=use_pallas,
                                 tokens=tokens)[0]
@@ -249,6 +277,9 @@ def cvae_encode(params, x_oh, r_density, n_density):
     cond = jnp.concatenate([r_density, n_density], axis=-1)        # (B, 2)
     cond_rep = jnp.broadcast_to(cond[:, None, :], (B, T, 2)).astype(x_oh.dtype)
     x_in = jnp.concatenate([x_oh, cond_rep], axis=-1)
+    if "enc_e" in params:
+        return encode_streams_fused_packed(
+            params["enc_e"], [(params["mu"], params["var"])], x_in)[0]
     view = {"gru": params["gru_e"], "mu": params["mu"], "var": params["var"]}
     return encode_streams_fused([view], x_in)[0]
 
@@ -305,6 +336,10 @@ def init_fader(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
 
 
 def fader_encode(params, x_oh, use_pallas: bool = False, tokens=None):
+    if "enc_e" in params:
+        return encode_streams_fused_packed(
+            params["enc_e"], [(params["mu"], params["var"])], x_oh,
+            use_pallas=use_pallas, tokens=tokens)[0]
     view = {"gru": params["gru_e"], "mu": params["mu"], "var": params["var"]}
     return encode_streams_fused([view], x_oh, use_pallas=use_pallas,
                                 tokens=tokens)[0]

@@ -187,15 +187,20 @@ def _embed_kernel_dispatch(B: int):
     return pallas_gru.kernel_dispatch(B)
 
 
-def multi_gru_final_states(params: list, x: jax.Array,
-                           reverse: list,
-                           use_pallas: bool = False,
-                           tokens: Optional[jax.Array] = None) -> jax.Array:
+def multi_gru_final_states_packed(w_ih_p: jax.Array, b_ih: jax.Array,
+                                  w_hh: jax.Array, b_hh: jax.Array,
+                                  x: jax.Array, reverse: list,
+                                  use_pallas: bool = False,
+                                  tokens: Optional[jax.Array] = None
+                                  ) -> jax.Array:
     """Final hidden states of L same-shaped GRUs over the SAME input
-    sequence, fused into one scan. Used to run all bi-encoder directions
-    (e.g. rhythm-fwd, rhythm-bwd, note-fwd, note-bwd) together.
+    sequence, fused into one scan, taking PRE-STACKED weights (the fast
+    param layout, models/fast.py — avoids re-running the stack/pad fusions
+    every step).
 
-    params: list of L GRU param dicts (same in_dim/hidden).
+    w_ih_p: (L, Ip, 3H) with the input dim padded to the kernel's
+    lane-aligned width (Ip = ceil128(I)); pad rows must be zero.
+    b_ih/b_hh: (L, 3H); w_hh: (L, H, 3H).
     reverse: list of L bools; True = consume x right-to-left.
     tokens: optional (B, T) int32 ids when `x` is exactly one_hot(tokens) —
     enables the embedded-token pallas kernel (ops/pallas_gru.py), which
@@ -204,25 +209,18 @@ def multi_gru_final_states(params: list, x: jax.Array,
     Returns (L, B, H) final states (for reversed directions this is the
     state after consuming the whole sequence, i.e. the torch `h_n` entry).
     """
-    B, T, _ = x.shape
-    H = params[0]["w_hh"].shape[0]
-    w_ih = jnp.stack([p["w_ih"] for p in params])       # (L, I, 3H)
-    b_ih = jnp.stack([p["b_ih"] for p in params])
-    w_hh = jnp.stack([p["w_hh"] for p in params])
-    b_hh = jnp.stack([p["b_hh"] for p in params])
+    B, T, V = x.shape
+    L, H = w_hh.shape[0], w_hh.shape[1]
 
     if use_pallas and tokens is not None:
         kind, mesh = _embed_kernel_dispatch(B)
         if kind is not None:
             from music_fader_nets_tpu.ops import pallas_gru
             from music_fader_nets_tpu.parallel import mesh as mesh_lib
-            V = w_ih.shape[1]
-            Vp = ((V + 127) // 128) * 128
-            w_ih_p = jnp.pad(w_ih, ((0, 0), (0, Vp - V), (0, 0)))
             tok_t = jnp.swapaxes(tokens.astype(jnp.int32), 0, 1)   # (T, B)
             tok_lt = jnp.stack([jnp.flip(tok_t, axis=0) if r else tok_t
                                 for r in reverse])                 # (L, T, B)
-            h0 = jnp.zeros((len(params), B, H), x.dtype)
+            h0 = jnp.zeros((L, B, H), x.dtype)
             if kind == "single":
                 return pallas_gru.stacked_gru_embed_finals(
                     tok_lt, w_ih_p, b_ih, w_hh, b_hh, h0)
@@ -233,12 +231,34 @@ def multi_gru_final_states(params: list, x: jax.Array,
     # One big MXU matmul for every direction's full-sequence input proj.
     # Reversed directions consume the time-flipped INPUT (small) rather than
     # flipping the (L,T,B,3H) projection afterwards — avoids materializing a
-    # second copy of the large `pre` tensor in HBM.
+    # second copy of the large `pre` tensor in HBM. (The [:, :V] slice of a
+    # freshly-padded w_ih_p folds away under XLA's slice-of-pad rule, so the
+    # canonical wrapper below pays nothing for the round trip.)
+    w_ih = w_ih_p[:, :V]
     x_dir = jnp.stack([jnp.flip(x, axis=1) if r else x for r in reverse])
     pre = jnp.einsum("lbti,lig->ltbg", x_dir, w_ih) + b_ih[:, None, None, :]
-    h0 = jnp.zeros((len(params), B, H), x.dtype)
+    h0 = jnp.zeros((L, B, H), x.dtype)
     _, h_final = stacked_gru_scan(pre, w_hh, b_hh, h0, use_pallas=use_pallas)
     return h_final
+
+
+def multi_gru_final_states(params: list, x: jax.Array,
+                           reverse: list,
+                           use_pallas: bool = False,
+                           tokens: Optional[jax.Array] = None) -> jax.Array:
+    """`multi_gru_final_states_packed` over a list of per-direction GRU
+    param dicts (canonical layout): stacks/pads them in-graph, then
+    delegates. params: list of L GRU param dicts (same in_dim/hidden)."""
+    V = params[0]["w_ih"].shape[0]
+    Vp = ((V + 127) // 128) * 128
+    w_ih = jnp.stack([p["w_ih"] for p in params])       # (L, I, 3H)
+    w_ih_p = jnp.pad(w_ih, ((0, 0), (0, Vp - V), (0, 0)))
+    b_ih = jnp.stack([p["b_ih"] for p in params])
+    w_hh = jnp.stack([p["w_hh"] for p in params])
+    b_hh = jnp.stack([p["b_hh"] for p in params])
+    return multi_gru_final_states_packed(w_ih_p, b_ih, w_hh, b_hh, x,
+                                         reverse, use_pallas=use_pallas,
+                                         tokens=tokens)
 
 
 def bigru_final_state(p_fwd: dict, p_bwd: dict, x: jax.Array) -> jax.Array:

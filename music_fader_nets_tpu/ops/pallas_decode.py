@@ -118,9 +118,13 @@ def pallas_greedy_decode(gview: Dict, z: jax.Array, steps: int,
     B = z.shape[0]
     dtype = jnp.float32
 
-    w_ih = gview["grucell_g"]["w_ih"].astype(dtype)
-    w_tok = _pad_to(w_ih[:V], Vp, 0)                          # (Vp, 3H)
-    w_z = w_ih[V:]
+    if "w_tok_p" in gview["grucell_g"]:       # fast layout (models/fast.py)
+        w_tok = gview["grucell_g"]["w_tok_p"].astype(dtype)   # (Vp, 3H)
+        w_z = gview["grucell_g"]["w_z"].astype(dtype)
+    else:
+        w_ih = gview["grucell_g"]["w_ih"].astype(dtype)
+        w_tok = _pad_to(w_ih[:V], Vp, 0)                      # (Vp, 3H)
+        w_z = w_ih[V:]
     pre_z = (z.astype(dtype) @ w_z
              + gview["grucell_g"]["b_ih"].astype(dtype))      # (B, 3H)
     h1_0 = (z.astype(dtype) @ gview["linear_init_global"]["w"].astype(dtype)

@@ -1703,6 +1703,18 @@ def _dec_mask_dp_vjp_bwd(ranges, mesh, axis, precision, res, g_mk):
 _dec_mask_core_dp.defvjp(_dec_mask_dp_vjp_fwd, _dec_mask_dp_vjp_bwd)
 
 
+def _dec_w_split(p: dict, V: int):
+    """(w_tok padded to ceil128(V), w_z) of the decoder cell's input
+    projection. The fast param layout (models/fast.py) stores them
+    pre-split/pre-padded; the canonical layout derives them here."""
+    g = p["grucell_g"]
+    if "w_tok_p" in g:
+        return g["w_tok_p"], g["w_z"]
+    w_ih = g["w_ih"]
+    Vp = ((V + 127) // 128) * 128
+    return jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0))), w_ih[V:]
+
+
 def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     """Teacher decode + CE in one kernel: returns per-position NLL (B, T)
     (= -log_softmax(logits)[target], nll_mean semantics before the mean —
@@ -1710,11 +1722,9 @@ def decoder_teacher_fused_nll(p: dict, z, tokens, V: int, precision=None):
     `kernel_dispatch(B)[0]` is 'single' (bare TPU) or 'dp' (pure-dp mesh:
     batch-sharded shard_map, weight grads psum'd)."""
     B, T = tokens.shape
-    w_ih = p["grucell_g"]["w_ih"]
-    Vp = ((V + 127) // 128) * 128
-    w_tok = jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0)))
-    w_z = w_ih[V:]
+    w_tok, w_z = _dec_w_split(p, V)
     pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    Vp = w_tok.shape[0]
     h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
     start = jnp.full((B, 1), V - 1, jnp.int32)
     tgt = tokens.astype(jnp.int32)
@@ -1757,11 +1767,9 @@ def decoder_teacher_fused_masses(p: dict, z, tokens, V: int,
     B0, T = tokens.shape
     assert B0 * n_rep == B, (B0, n_rep, B)
     ranges = tuple(tuple(r) for r in ranges)
-    w_ih = p["grucell_g"]["w_ih"]
-    Vp = ((V + 127) // 128) * 128
-    w_tok = jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0)))
-    w_z = w_ih[V:]
+    w_tok, w_z = _dec_w_split(p, V)
     pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    Vp = w_tok.shape[0]
     h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
     start = jnp.full((B0, 1), V - 1, jnp.int32)
     tok_t = jnp.swapaxes(
@@ -1885,11 +1893,9 @@ def decoder_teacher_fused(p: dict, z, tokens, V: int, precision=None):
     Returns h2_seq as (B, T, H); the logits head stays outside (one large
     MXU matmul over T*B rows)."""
     B, T = tokens.shape
-    w_ih = p["grucell_g"]["w_ih"]
-    Vp = ((V + 127) // 128) * 128
-    w_tok = jnp.pad(w_ih[:V], ((0, Vp - V), (0, 0)))
-    w_z = w_ih[V:]
+    w_tok, w_z = _dec_w_split(p, V)
     pre_z = z @ w_z + p["grucell_g"]["b_ih"]
+    Vp = w_tok.shape[0]
     h1_0 = z @ p["linear_init_global"]["w"] + p["linear_init_global"]["b"]
     start = jnp.full((B, 1), V - 1, jnp.int32)
     tok_t = jnp.swapaxes(

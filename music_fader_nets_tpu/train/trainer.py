@@ -20,6 +20,7 @@ import optax
 
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.data.loader import batch_iterator
+from music_fader_nets_tpu.models import fast as fast_lib
 from music_fader_nets_tpu.parallel import mesh as mesh_lib
 
 
@@ -85,7 +86,11 @@ class Trainer:
             # (pallas_call is not GSPMD-partitionable; see ops/gru.py)
             with mesh_lib.trace_mesh_scope(mesh):
                 def lossf(params):
-                    return loss_fn(params, rng, batch, state.step, cfg)
+                    # kernel-layout view (models/fast.py); grads flow back
+                    # through the stack/pad transpose — same program shape
+                    # as stacking inside the forward
+                    fp, _ = fast_lib.split_fast(params)
+                    return loss_fn(fp, rng, batch, state.step, cfg)
                 (loss, metrics), grads = jax.value_and_grad(
                     lossf, has_aux=True)(state.params)
                 updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -105,8 +110,8 @@ class Trainer:
             # and no no_grad (trainer.py:232-252) — numerically the forward
             # is the same; we simply don't differentiate.
             with mesh_lib.trace_mesh_scope(mesh):
-                _, metrics = loss_fn(state.params, rng, batch, state.step,
-                                     cfg)
+                fp, _ = fast_lib.split_fast(state.params)
+                _, metrics = loss_fn(fp, rng, batch, state.step, cfg)
             return metrics
 
         return eval_step
@@ -124,25 +129,46 @@ class Trainer:
         # eval returns the state untouched and must not invalidate it
         @functools.partial(jax.jit, donate_argnums=(0,) if train else ())
         def epoch_fn(state: TrainState, batches, rng):
-            def body(state, batch):
-                rng_step = jax.random.fold_in(rng, state.step)
+            # Convert to the kernel param layout ONCE for the whole epoch
+            # (models/fast.py): the scan carries pre-stacked/pre-padded
+            # weights and Adam runs on them directly, so no step re-runs
+            # the stack/pad fusions or their backward unstack slices
+            # (~0.2 ms/step at reference dims). `template` is only read
+            # for canonical shapes at exit.
+            template = state.params
+            fast_params, frozen = fast_lib.split_fast(state.params)
+            if train:
+                fast_opt, frozen_opt = fast_lib.opt_state_split_fast(
+                    state.opt_state)
+            else:
+                fast_opt = state.opt_state
+            fstate = TrainState(fast_params, fast_opt, state.step)
+
+            def body(fstate, batch):
+                rng_step = jax.random.fold_in(rng, fstate.step)
 
                 def lossf(params):
-                    return loss_fn(params, rng_step, batch, state.step, cfg)
+                    return loss_fn(params, rng_step, batch, fstate.step, cfg)
 
                 if train:
                     (loss, metrics), grads = jax.value_and_grad(
-                        lossf, has_aux=True)(state.params)
+                        lossf, has_aux=True)(fstate.params)
                     updates, opt_state = optimizer.update(
-                        grads, state.opt_state, state.params)
-                    params = optax.apply_updates(state.params, updates)
+                        grads, fstate.opt_state, fstate.params)
+                    params = optax.apply_updates(fstate.params, updates)
                     return TrainState(params, opt_state,
-                                      state.step + 1), metrics
-                _, metrics = lossf(state.params)
-                return state, metrics
+                                      fstate.step + 1), metrics
+                _, metrics = lossf(fstate.params)
+                return fstate, metrics
 
             with mesh_lib.trace_mesh_scope(mesh):
-                state, metrics = jax.lax.scan(body, state, batches)
+                fstate, metrics = jax.lax.scan(body, fstate, batches)
+            if train:
+                state = TrainState(
+                    fast_lib.merge_canonical(fstate.params, frozen, template),
+                    fast_lib.opt_state_merge_canonical(
+                        fstate.opt_state, frozen_opt, template),
+                    fstate.step)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
         return epoch_fn
