@@ -105,7 +105,7 @@ def reg_gmvae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
 
 def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                       cfg: ModelConfig, train: bool = True,
-                      tokens=None, nll_targets=None) -> Dict:
+                      tokens=None, nll_targets=None, track_ids=None) -> Dict:
     """reference gmm_model.py:220-259; returns reconstruction outputs plus the
     per-stream mixture posteriors and inferred components."""
     pal = cfg.use_pallas_gru
@@ -123,7 +123,8 @@ def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
 
     r_out, n_out = _sub_pair_apply(
         params, r_oh, n_oh, z_r, z_n,
-        cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
+        cfg.faithful_subdecoder_softmax_axis, use_pallas=pal,
+        track_ids=track_ids)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     out = nll_x = None

@@ -175,16 +175,57 @@ def sub_decoder_pair_apply(p_r, p_n, r_oh, n_oh, z_r, z_n,
 def sub_decoder_pair_apply_packed(sub: dict, init_r, init_n, out_r, out_n,
                                   r_oh, n_oh, z_r, z_n,
                                   faithful_softmax_axis: bool = True,
-                                  use_pallas: bool = False):
+                                  use_pallas: bool = False,
+                                  track_ids=None):
     """`sub_decoder_pair_apply` over the fast-layout `sub_rn` group
     (models/fast.py): both streams' w_ih share one stacked (2, Dm+Z, 3H)
     tensor with input rows [track padded to Dm, z], so the whole hoisted
     input projection is ONE batched einsum producing the time-major
     (2, T, B, 3H) `pre` directly — no per-step stack of the two (B, T, 3H)
-    projections (that stack wrote ~25 MB/step at reference dims)."""
+    projections (that stack wrote ~25 MB/step at reference dims).
+
+    track_ids: optional ((B,T) rhythm ids, (B,T) note ids) with
+    r_oh/n_oh = one_hot(ids) — routes to the class-embedded kernel
+    (ops/pallas_gru.stacked_gru_embed_seq), which embeds the track class
+    on-core and adds the per-sequence z projection: neither the (2,T,B,3H)
+    `pre` tensor nor its dpre twin ever exists in HBM."""
     B, T, _ = r_oh.shape
     Z = z_r.shape[-1]
     dm = sub["w_ih"].shape[1] - Z
+
+    if use_pallas and track_ids is not None:
+        from music_fader_nets_tpu.ops import pallas_gru
+        from music_fader_nets_tpu.parallel import mesh as mesh_lib
+        kind, mesh = pallas_gru.kernel_dispatch(B)
+        if kind is not None:
+            dt = r_oh.dtype
+            Cp = 128                                 # lane-aligned class pad
+            w_emb = jnp.pad(sub["w_ih"][:, :dm],
+                            ((0, 0), (0, Cp - dm), (0, 0)))
+            w_z = sub["w_ih"][:, dm:]                # (2, Z, 3H)
+            z_l = jnp.stack([z_r, z_n]).astype(dt)   # (2, B, Z)
+            prez = (jnp.einsum("lbz,lzg->lbg", z_l, w_z)
+                    + sub["b_ih"][:, None, :]).astype(dt)
+            cls_lt = jnp.stack(
+                [jnp.swapaxes(ids.astype(jnp.int32), 0, 1)
+                 for ids in track_ids])              # (2, T, B)
+            h0 = jnp.stack([linear_apply(init_r, z_r),
+                            linear_apply(init_n, z_n)]).astype(dt)
+            if kind == "single":
+                outs = pallas_gru.stacked_gru_embed_seq(
+                    cls_lt, w_emb.astype(dt), prez, sub["w_hh"].astype(dt),
+                    sub["b_hh"].astype(dt), h0)
+            else:
+                outs = pallas_gru.stacked_gru_embed_seq_dp(
+                    cls_lt, w_emb.astype(dt), prez, sub["w_hh"].astype(dt),
+                    sub["b_hh"].astype(dt), h0, mesh, mesh_lib.DATA_AXIS)
+            axis = 1 if faithful_softmax_axis else -1
+            r_logits = linear_apply(out_r, jnp.swapaxes(outs[0], 0, 1))
+            n_logits = linear_apply(out_n, jnp.swapaxes(outs[1], 0, 1))
+            return (jax.nn.log_softmax(r_logits.astype(jnp.float32),
+                                       axis=axis),
+                    jax.nn.log_softmax(n_logits.astype(jnp.float32),
+                                       axis=axis))
 
     def inp(track_oh, z):
         pad = dm - track_oh.shape[-1]

@@ -58,15 +58,19 @@ def _sub_view(params, suffix: str):
     }
 
 
-def _sub_pair_apply(params, r_oh, n_oh, z_r, z_n, faithful_axis, use_pallas):
+def _sub_pair_apply(params, r_oh, n_oh, z_r, z_n, faithful_axis, use_pallas,
+                    track_ids=None):
     """Both attribute sub-decoders, dispatching on the param layout
-    (canonical vs fast — models/fast.py)."""
+    (canonical vs fast — models/fast.py). track_ids: optional
+    ((B,T) rhythm ids, (B,T) note ids) enabling the class-embedded kernel
+    on the fast layout."""
     if "sub_rn" in params:
         return sub_decoder_pair_apply_packed(
             params["sub_rn"],
             params["linear_init_r"], params["linear_init_n"],
             params["linear_out_r"], params["linear_out_n"],
-            r_oh, n_oh, z_r, z_n, faithful_axis, use_pallas=use_pallas)
+            r_oh, n_oh, z_r, z_n, faithful_axis, use_pallas=use_pallas,
+            track_ids=track_ids)
     return sub_decoder_pair_apply(
         _sub_view(params, "r"), _sub_view(params, "n"), r_oh, n_oh, z_r, z_n,
         faithful_axis, use_pallas=use_pallas)
@@ -150,14 +154,16 @@ def reg_vae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
 
 def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                     cfg: ModelConfig, train: bool = True,
-                    tokens=None, nll_targets=None) -> Dict:
+                    tokens=None, nll_targets=None, track_ids=None) -> Dict:
     """Full training-path forward (reference model_v2.py:145-171).
 
     Teacher-forced when `train` (the reference's `eps=100` makes scheduled
     sampling a no-op — always teacher-forced, SURVEY.md §2.4); greedy
     otherwise. Returns log-prob outputs, distributions and latents.
     `tokens`: optional (B, T) ids with x_oh = one_hot(tokens), for the
-    embedded-token encoder kernel.
+    embedded-token encoder kernel. `track_ids`: optional (rhythm, note) id
+    pair with r_oh/n_oh = one_hot(ids), for the class-embedded sub-decoder
+    kernel (fast layout only).
     """
     pal = cfg.use_pallas_gru
     (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(params, x_oh,
@@ -169,7 +175,8 @@ def reg_vae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
 
     r_out, n_out = _sub_pair_apply(
         params, r_oh, n_oh, z_r, z_n,
-        cfg.faithful_subdecoder_softmax_axis, use_pallas=pal)
+        cfg.faithful_subdecoder_softmax_axis, use_pallas=pal,
+        track_ids=track_ids)
 
     z = jnp.concatenate([z_r, z_n, chroma], axis=-1)
     out = nll_x = None

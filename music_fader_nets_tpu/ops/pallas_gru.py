@@ -712,6 +712,338 @@ stacked_gru_embed_finals_dp.defvjp(_embed_fin_dp_vjp_fwd,
 
 
 # ---------------------------------------------------------------------------
+# class-embedded variant returning the FULL h_seq: the sub-decoder use case
+# ---------------------------------------------------------------------------
+# The teacher-forced sub-decoders consume [track_onehot_t, z] per step
+# (reference model_v2.py:99-116). The z half's projection is constant over
+# time, and the track half is one-hot over a tiny class set (3 rhythm / 16
+# note classes) — so the hoisted (L,T,B,3H) `pre` tensor the generic kernel
+# needs (~25 MB/step at reference dims, plus its dpre twin in backward) is
+# pure waste: per step the input projection is `w_emb[class_t] + pre_z`.
+# This kernel embeds the class on-core (iota-compare one-hot @ VMEM-resident
+# w_emb, padded to 128 rows) and adds the per-sequence pre_z; the backward
+# accumulates dW_emb on-core and emits only the (L,B,3H) dpre_z. Unlike the
+# encoder's finals-only embed kernel, the full h_seq carries cotangents
+# (every step feeds the logits head), so the backward streams per-step g
+# blocks instead of applying one final-state cotangent.
+
+
+def _fwd_embed_seq_kernel(precision, lb, Cp, stash,
+                          cls_ref, wemb_ref, prez_ref, w_ref, b_ref, h0_ref,
+                          *refs):
+    out_ref, g4_ref, h_c = refs if stash else (refs[0], None, refs[1])
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_c[:] = h0_ref[:].astype(F32)
+
+    for j in range(lb):
+        h = h_c[j]
+        H = h.shape[-1]
+        # prez is (B, G): broadcasts row-wise where the encoder kernel's
+        # b_ih (1, G) broadcasts layer-wise — same add, richer operand
+        pre_x, _ = _embed_pre_x(cls_ref[j, 0, 0], wemb_ref[j], prez_ref[j],
+                                Cp, precision)
+        pre_h = jax.lax.dot_general(
+            h, w_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=precision
+        ) + b_ref[j].astype(F32)
+        r, z, n, h_new = _gates_f32(pre_x, pre_h, h)
+        h_c[j] = h_new
+        out_ref[j, 0] = h_new.astype(out_ref.dtype)
+        if stash:
+            g4_ref[j, 0] = jnp.concatenate(
+                [r, z, n, pre_h[:, 2 * H:]], axis=-1).astype(g4_ref.dtype)
+
+
+def _fwd_embed_seq_pallas(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                          precision=None, out_dtype=None,
+                          stash_gates=False):
+    """cls_lt (L, T, B) int32 class ids; w_emb (L, Cp, G) with Cp a lane
+    multiple (pad rows zero); prez (L, B, G) = z @ w_z + b_ih, the
+    per-sequence constant part of the input projection. Returns h_seq
+    (L, T, B, H) (+ the (L, T, B, 4H) gate stash when `stash_gates`)."""
+    L, T, B = cls_lt.shape
+    H = h0.shape[-1]
+    G = w_hh.shape[-1]
+    Cp = w_emb.shape[1]
+    out_dtype = out_dtype or w_emb.dtype
+    lb = _pick_l_block_embed(L, B, H, G, Cp, w_emb.dtype.itemsize,
+                             stash=stash_gates)
+    seq_spec = pl.BlockSpec((lb, 1, B, H), lambda l, t: (l, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [seq_spec]
+    out_shape = [jax.ShapeDtypeStruct((L, T, B, H), out_dtype)]
+    if stash_gates:
+        out_specs.append(pl.BlockSpec((lb, 1, B, 4 * H),
+                                      lambda l, t: (l, t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((L, T, B, 4 * H), out_dtype))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_embed_seq_kernel, precision, lb, Cp,
+                          stash_gates),
+        grid=(L // lb, T),
+        in_specs=[
+            pl.BlockSpec((lb, 1, 1, B), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, Cp, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, H), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if stash_gates else out_specs[0],
+        out_shape=out_shape if stash_gates else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(cls_lt[:, :, None, :], w_emb, prez, w_hh, b_hh[:, None, :], h0)
+    return outs
+
+
+def _embed_seq_bwd_need(lb, kt, B, H, G, Cp, itemsize):
+    return lb * (H * G * itemsize               # w_hh (resident)
+                 + (Cp + H) * G * 4             # dwemb + dwhh acc (f32)
+                 + B * G * 4                    # dprez acc (f32)
+                 + 2 * 2 * kt * B * H * itemsize  # hcur + hprevb (db)
+                 + 2 * kt * B * 4 * H * itemsize  # g4 gate stash (db)
+                 + 2 * kt * B * H * itemsize    # per-step g blocks (db)
+                 + B * H * itemsize             # h0 (resident)
+                 + 2 * kt * B * G * 4           # dpre_x + dpre_h stash
+                 + kt * B * Cp * itemsize       # onehot block values
+                 + 2 * B * H * 4)               # dh0 out + dh carry
+
+
+def _pick_bwd_blocks_embed_seq(L, T, B, H, G, Cp, itemsize):
+    budget = 72 * 1024 * 1024
+    # sub-decoder T is small (16 short / 64 long corpus); larger kt means
+    # fewer accumulator read-modify-writes — prefer the biggest fitting
+    kt = _pick_t_block(
+        T,
+        lambda k: _embed_seq_bwd_need(1, k, B, H, G, Cp, itemsize) <= budget,
+        prefs=(8, 4, 16, 2, 1))
+    for lb in range(L, 0, -1):
+        if L % lb:
+            continue
+        if _embed_seq_bwd_need(lb, kt, B, H, G, Cp, itemsize) <= budget:
+            return lb, kt
+    return 1, kt
+
+
+def _bwd_embed_seq_kernel(precision, lb, kt, Cp,
+                          cls_ref, hcur_ref, hprevb_ref, g4_ref, h0_ref,
+                          g_ref, w_ref,
+                          dwemb_ref, dprez_ref, dw_ref, db_ref, dh0_ref,
+                          dh_c, dpx_c, dph_c):
+    tb_rev = pl.program_id(1)
+    TB = pl.num_programs(1)
+    first_blk = tb_rev == TB - 1              # block containing t = 0
+
+    @pl.when(tb_rev == 0)
+    def _():
+        dh_c[:] = jnp.zeros_like(dh_c)
+        dwemb_ref[:] = jnp.zeros_like(dwemb_ref[:])
+        dprez_ref[:] = jnp.zeros_like(dprez_ref[:])
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+        db_ref[:] = jnp.zeros_like(db_ref[:])
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=F32,
+                                   precision=precision)
+
+    for j in range(lb):
+        w = w_ref[j]
+        B = dh_c.shape[1]
+        H = dh_c.shape[2]
+        G = w.shape[-1]
+        onehot = _rows_onehot(cls_ref[j, :, 0, :], kt, B, Cp, w.dtype)
+        g4 = g4_ref[j].astype(F32)                         # (kt, B, 4H)
+        hcur = hcur_ref[j].astype(F32)
+        gblk = g_ref[j].astype(F32)                        # (kt, B, H)
+        h_prev0 = jnp.where(first_blk, h0_ref[j].astype(F32),
+                            hprevb_ref[j, kt - 1].astype(F32))
+        h_prev_blk = (h_prev0[None] if kt == 1 else jnp.concatenate(
+            [h_prev0[None], hcur[: kt - 1]], axis=0))
+
+        for s in range(kt - 1, -1, -1):       # sequential dh chain
+            h_prev = h_prev_blk[s]
+            r = g4[s, :, :H]
+            z = g4[s, :, H:2 * H]
+            n = g4[s, :, 2 * H:3 * H]
+            hn_h = g4[s, :, 3 * H:]
+            # full-sequence use case: EVERY step carries a cotangent
+            dh_total = dh_c[j] + gblk[s]
+            dpre_x, dpre_h, dhloc = _gate_bwd(dh_total, r, z, n, hn_h,
+                                              h_prev)
+            dh_c[j] = dhloc + dot(dpre_h, w, ((1,), (1,)))
+            dpx_c[j, s] = dpre_x
+            dph_c[j, s] = dpre_h
+            if s == 0:
+                @pl.when(first_blk)
+                def _():
+                    dh0_ref[j] = dh_c[j].astype(dh0_ref.dtype)
+
+        dpx = dpx_c[j].reshape(kt * B, G)
+        dph = dph_c[j].reshape(kt * B, G)
+        dwemb_ref[j] += dot(onehot, dpx, ((0,), (0,)))
+        dprez_ref[j] += jnp.sum(dpx_c[j], axis=0)          # (B, G)
+        dw_ref[j] += dot(h_prev_blk.reshape(kt * B, H), dph, ((0,), (0,)))
+        db_ref[j] += jnp.sum(dph, axis=0, keepdims=True)
+
+
+def _bwd_embed_seq_pallas(cls_lt, h_seq, g4_seq, h0, g_seq, w_hh, Cp,
+                          precision=None):
+    """g_seq: per-step cotangents (L, T, B, H). Returns
+    (dwemb (L,Cp,G), dprez (L,B,G), dw_hh, db_hh, dh0)."""
+    L, T, B = cls_lt.shape
+    H = h0.shape[-1]
+    G = w_hh.shape[-1]
+    lb, kt = _pick_bwd_blocks_embed_seq(L, T, B, H, G, Cp,
+                                        h_seq.dtype.itemsize)
+    TB = T // kt
+    rev4 = lambda l, t: (l, TB - 1 - t, 0, 0)
+    prevb = lambda l, t: (l, jnp.maximum(TB - 2 - t, 0), 0, 0)
+    res = lambda l, t: (l, 0, 0)
+    dwemb, dprez, dw, db, dh0 = pl.pallas_call(
+        functools.partial(_bwd_embed_seq_kernel, precision, lb, kt, Cp),
+        grid=(L // lb, TB),
+        in_specs=[
+            pl.BlockSpec((lb, kt, 1, B), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), prevb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, 4 * H), rev4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, kt, B, H), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), res, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((lb, Cp, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, H, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, 1, G), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, B, H), res, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Cp, G), F32),
+            jax.ShapeDtypeStruct((L, B, G), F32),
+            jax.ShapeDtypeStruct((L, H, G), F32),
+            jax.ShapeDtypeStruct((L, 1, G), F32),
+            jax.ShapeDtypeStruct((L, B, H), F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((lb, B, H), F32),
+                        pltpu.VMEM((lb, kt, B, G), F32),
+                        pltpu.VMEM((lb, kt, B, G), F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(cls_lt[:, :, None, :], h_seq, h_seq, g4_seq, h0, g_seq, w_hh)
+    return dwemb, dprez, dw, db[:, 0, :], dh0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def stacked_gru_embed_seq(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                          precision=None):
+    """Fused stacked GRU over one-hot CLASS inputs plus a per-sequence
+    constant input projection (pre_t = w_emb[class_t] + prez), returning
+    the full h_seq (L, T, B, H) — the sub-decoder use case. cls_lt carries
+    no gradient; grads flow to w_emb, prez (thence z and the w_ih z-rows
+    outside), w_hh, b_hh, h0."""
+    return _fwd_embed_seq_pallas(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                                 precision)
+
+
+def _embed_seq_vjp_fwd(cls_lt, w_emb, prez, w_hh, b_hh, h0, precision):
+    h_seq, g4 = _fwd_embed_seq_pallas(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                                      precision, stash_gates=True)
+    return h_seq, (cls_lt, w_emb, prez, w_hh, b_hh, h0, h_seq, g4)
+
+
+def _embed_seq_vjp_bwd(precision, res, g_seq):
+    cls_lt, w_emb, prez, w_hh, b_hh, h0, h_seq, g4 = res
+    dwemb, dprez, dw, db, dh0 = _bwd_embed_seq_pallas(
+        cls_lt, h_seq, g4, h0, g_seq.astype(h_seq.dtype), w_hh,
+        w_emb.shape[1], precision)
+    return (_float0_like(cls_lt), dwemb.astype(w_emb.dtype),
+            dprez.astype(prez.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
+
+
+stacked_gru_embed_seq.defvjp(_embed_seq_vjp_fwd, _embed_seq_vjp_bwd)
+
+
+def _embed_seq_dp_fwd_impl(cls_lt, w_emb, prez, w_hh, b_hh, h0, mesh, axis,
+                           precision, stash_gates=False):
+    from jax.sharding import PartitionSpec as P
+    tk = P(None, None, axis)
+    b4 = P(None, None, axis, None)
+    b3 = P(None, axis, None)
+    rep = P()
+    f = jax.shard_map(
+        functools.partial(_fwd_embed_seq_pallas, precision=precision,
+                          stash_gates=stash_gates),
+        mesh=mesh, in_specs=(tk, rep, b3, rep, rep, b3),
+        out_specs=(b4, b4) if stash_gates else b4,
+        check_vma=False)
+    return f(cls_lt, w_emb, prez, w_hh, b_hh, h0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def stacked_gru_embed_seq_dp(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                             mesh, axis: str = "data", precision=None):
+    """`stacked_gru_embed_seq` over a pure-dp mesh: classes/prez/h0
+    batch-sharded, weights replicated, weight grads psum'd."""
+    return _embed_seq_dp_fwd_impl(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                                  mesh, axis, precision)
+
+
+def _embed_seq_dp_vjp_fwd(cls_lt, w_emb, prez, w_hh, b_hh, h0, mesh, axis,
+                          precision):
+    h_seq, g4 = _embed_seq_dp_fwd_impl(cls_lt, w_emb, prez, w_hh, b_hh, h0,
+                                       mesh, axis, precision,
+                                       stash_gates=True)
+    return h_seq, (cls_lt, w_emb, prez, w_hh, b_hh, h0, h_seq, g4)
+
+
+def _embed_seq_dp_vjp_bwd(mesh, axis, precision, res, g_seq):
+    cls_lt, w_emb, prez, w_hh, b_hh, h0, h_seq, g4 = res
+    from jax.sharding import PartitionSpec as P
+    tk = P(None, None, axis)
+    b4 = P(None, None, axis, None)
+    b3 = P(None, axis, None)
+    rep = P()
+    Cp = w_emb.shape[1]
+
+    def body(cls_, hseq_, g4_, h0_, g_, whh_):
+        dwemb, dprez, dw, db, dh0 = _bwd_embed_seq_pallas(
+            cls_, hseq_, g4_, h0_, g_, whh_, Cp, precision)
+        return (jax.lax.psum(dwemb, axis), dprez,
+                jax.lax.psum(dw, axis), jax.lax.psum(db, axis), dh0)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(tk, b4, b4, b3, b4, rep),
+                      out_specs=(rep, b3, rep, rep, b3),
+                      check_vma=False)
+    dwemb, dprez, dw, db, dh0 = f(cls_lt, h_seq, g4, h0,
+                                  g_seq.astype(h_seq.dtype), w_hh)
+    return (_float0_like(cls_lt), dwemb.astype(w_emb.dtype),
+            dprez.astype(prez.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dh0.astype(h0.dtype))
+
+
+stacked_gru_embed_seq_dp.defvjp(_embed_seq_dp_vjp_fwd,
+                                _embed_seq_dp_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # fused 2-layer teacher decoder
 # ---------------------------------------------------------------------------
 # Teacher forcing decouples the decoder's 2 GRUCell layers, but running them

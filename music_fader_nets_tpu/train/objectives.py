@@ -90,7 +90,8 @@ def vanilla_loss(params, rng, batch, step, cfg: ModelConfig,
     x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = vae.reg_vae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
                               cfg, train=train, tokens=batch["x"],
-                              nll_targets=batch["x"])
+                              nll_targets=batch["x"],
+                              track_ids=(batch["r"], batch["n"]))
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
@@ -117,7 +118,8 @@ def gmm_loss(params, rng, batch, step, cfg: ModelConfig,
     x_oh, r_oh, n_oh = _one_hots(batch, cfg, dtype=dt)
     fwd = gmvae.reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, batch["c"],
                                   cfg, train=train, tokens=batch["x"],
-                                  nll_targets=batch["x"])
+                                  nll_targets=batch["x"],
+                                  track_ids=(batch["r"], batch["n"]))
     fwd = _cast_tree(fwd, jnp.float32)
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
@@ -174,7 +176,8 @@ def glsr_loss(params, rng, batch, step, cfg: ModelConfig,
     rng_fwd, rng_glsr = jax.random.split(rng)
     fwd = vae.reg_vae_forward(params, rng_fwd, x_oh, r_oh, n_oh, batch["c"],
                               cfg, train=train, tokens=batch["x"],
-                              nll_targets=batch["x"])
+                              nll_targets=batch["x"],
+                              track_ids=(batch["r"], batch["n"]))
     ce_x, ce_r, ce_n = _recon_ce(fwd, batch, cfg)
     ce = cfg.ce_x_weight * ce_x + ce_r + ce_n
     kld = (kl_std_normal(fwd["mu_r"], fwd["std_r"], cfg.free_bits)

@@ -656,3 +656,122 @@ def test_fused_masses_shared_tokens_n_rep():
     for (path, a), (_, b_) in zip(flat1, flat4):
         np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4,
                                    err_msg=str(path))
+
+
+# ---------------------------------------------------------------------------
+# class-embedded full-sequence kernel (sub-decoder use case)
+# ---------------------------------------------------------------------------
+
+
+def _embed_seq_case(L=2, T=8, B=4, H=8, Cp=128, seed=21):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    G = 3 * H
+    cls = jax.random.randint(ks[0], (L, T, B), 0, 16)
+    w_emb = jnp.zeros((L, Cp, G)).at[:, :16].set(
+        jax.random.normal(ks[1], (L, 16, G)) * 0.3)
+    prez = jax.random.normal(ks[2], (L, B, G)) * 0.3
+    w_hh = jax.random.normal(ks[3], (L, H, G)) * 0.3
+    b_hh = jax.random.normal(ks[4], (L, G)) * 0.1
+    h0 = jax.random.normal(ks[0], (L, B, H))
+    return cls, w_emb, prez, w_hh, b_hh, h0
+
+
+def _embed_seq_ref(cls, w_emb, prez, w_hh, b_hh, h0):
+    oh = jax.nn.one_hot(cls, w_emb.shape[1], dtype=w_emb.dtype)
+    pre = jnp.einsum("ltbc,lcg->ltbg", oh, w_emb) + prez[:, None]
+    outs, _ = stacked_gru_scan(pre, w_hh, b_hh, h0)
+    return outs
+
+
+def test_embed_seq_forward_matches_generic():
+    args = _embed_seq_case()
+    ref = _embed_seq_ref(*args)
+    got = pallas_gru.stacked_gru_embed_seq(*args)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("T", [1, 5, 8, 16])
+def test_embed_seq_gradients_match_generic(T):
+    args = _embed_seq_case(T=T)
+
+    def loss(fn):
+        def f(*a):
+            out = fn(*a)
+            return jnp.sum(out * jnp.cos(out))
+        return f
+
+    g_ref = jax.grad(loss(_embed_seq_ref), argnums=(1, 2, 3, 4, 5))(*args)
+    g_pal = jax.grad(loss(pallas_gru.stacked_gru_embed_seq),
+                     argnums=(1, 2, 3, 4, 5))(*args)
+    for name, a, b_ in zip(("w_emb", "prez", "w_hh", "b_hh", "h0"),
+                           g_ref, g_pal):
+        np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3,
+                                   err_msg=name)
+
+
+def test_embed_seq_dp_matches_single_device():
+    from music_fader_nets_tpu.parallel import mesh as mesh_lib
+    args = _embed_seq_case(B=16, seed=23)
+    mesh = mesh_lib.make_mesh(8, 1)
+
+    def loss(in_mesh):
+        def f(w_emb, prez, w_hh, b_hh, h0):
+            if in_mesh is None:
+                out = pallas_gru.stacked_gru_embed_seq(
+                    args[0], w_emb, prez, w_hh, b_hh, h0)
+            else:
+                out = pallas_gru.stacked_gru_embed_seq_dp(
+                    args[0], w_emb, prez, w_hh, b_hh, h0, in_mesh)
+            return jnp.sum(jnp.tanh(out))
+        return f
+
+    v1 = loss(None)(*args[1:])
+    v8 = loss(mesh)(*args[1:])
+    np.testing.assert_allclose(v8, v1, atol=1e-4)  # shard-reduction order
+    g1 = jax.grad(loss(None), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    g8 = jax.grad(loss(mesh), argnums=(0, 1, 2, 3, 4))(*args[1:])
+    for a, b_ in zip(g1, g8):
+        np.testing.assert_allclose(b_, a, atol=2e-5, rtol=1e-4)
+
+
+def test_sub_pair_packed_track_ids_matches(monkeypatch):
+    """The fast-layout sub-decoder pair with track_ids (class-embedded
+    kernel) equals the generic packed einsum path, value and grads."""
+    from music_fader_nets_tpu.models.modules import (
+        sub_decoder_pair_apply_packed)
+    from music_fader_nets_tpu.models import fast as fast_lib
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4)
+    p = models.init_reg_vae(jax.random.PRNGKey(0), cfg)
+    fp, _ = fast_lib.split_fast(p)
+    B = 4
+    key = jax.random.PRNGKey(1)
+    r_ids = jax.random.randint(key, (B, 4), 0, 3)
+    n_ids = jax.random.randint(key, (B, 4), 0, 16)
+    r_oh = jax.nn.one_hot(r_ids, 3)
+    n_oh = jax.nn.one_hot(n_ids, 16)
+    z_r = jax.random.normal(key, (B, 8))
+    z_n = jax.random.normal(jax.random.PRNGKey(2), (B, 8))
+
+    def loss(fp, use_kernel):
+        r_out, n_out = sub_decoder_pair_apply_packed(
+            fp["sub_rn"], fp["linear_init_r"], fp["linear_init_n"],
+            fp["linear_out_r"], fp["linear_out_n"],
+            r_oh, n_oh, z_r, z_n, True,
+            use_pallas=use_kernel,
+            track_ids=(r_ids, n_ids) if use_kernel else None)
+        return jnp.sum(r_out * jnp.cos(r_out)) + jnp.sum(n_out ** 2)
+
+    v_ref = loss(fp, False)
+    v_pal = loss(fp, True)
+    np.testing.assert_allclose(v_pal, v_ref, atol=1e-4)
+    g_ref = jax.grad(lambda q: loss(q, False))(fp)
+    g_pal = jax.grad(lambda q: loss(q, True))(fp)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b_) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3,
+                                   err_msg=str(path))
