@@ -63,22 +63,32 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
     from music_fader_nets_tpu.ops.pallas_decode import greedy_decode_tokens
     z0 = jax.random.normal(jax.random.PRNGKey(0), (1, 2 * cfg.z_dims + 24))
 
-    # chain decodes through a data dependency so one host sync amortizes the
-    # tunnel RPC latency and the number reflects device decode time
-    def dec(p, z):
-        toks = greedy_decode_tokens(_global_view(p), z, 300)
-        return toks, z + 1e-9 * toks.sum().astype(z.dtype)
-
-    dec = jax.jit(dec)
-    toks, z = dec(tr.params, z0)
-    _ = int(np.asarray(toks)[0, 0])
+    # N chained decodes inside ONE compiled program (lax.scan carrying z
+    # through a data dependency): zero per-decode dispatch, one host sync —
+    # the single-window python-loop version drifted 1.8-2.7 ms run-to-run
+    # with tunnel load even though the dispatches were chained on device
     N = 20
-    t0 = time.perf_counter()
-    for _i in range(N):
-        toks, z = dec(tr.params, z)
-    _ = int(np.asarray(toks)[0, 0])
-    return (batch_size / step_t, step_t, (time.perf_counter() - t0) / N,
-            windows)
+
+    def dec_chain(p, z):
+        gview = _global_view(p)
+
+        def body(z, _):
+            toks = greedy_decode_tokens(gview, z, 300)
+            return z + 1e-9 * toks.sum().astype(z.dtype), toks[0, 0]
+
+        z, first_toks = jax.lax.scan(body, z, None, length=N)
+        return z, first_toks
+
+    dec_chain = jax.jit(dec_chain)
+    z, first_toks = dec_chain(tr.params, z0)          # compile + warm
+    _ = int(np.asarray(first_toks)[0])                # real sync
+    per_dec = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        z, first_toks = dec_chain(tr.params, z)
+        _ = int(np.asarray(first_toks)[0])
+        per_dec.append((time.perf_counter() - t0) / N)
+    return batch_size / step_t, step_t, min(per_dec), windows
 
 
 def measure_torch_baseline(batch_size: int, seq_len: int, attr_len: int,

@@ -6,11 +6,13 @@ The reimplemented stack (`tokenizer/midi_io.py`, `tokenizer/pianoroll.py`,
 `tokenizer/key_estimate.py`) was written from the semantics of
 reference polyphonic_event_based_v2.py:195-414 and ptb_v2.py:95-129 and is
 pinned by hand-built fixtures elsewhere; these tests pin it against the
-*original* libraries when they are importable. The build image has no
-network egress and no pip, so on this box every test skips — run
-`pip install pretty_midi pypianoroll music21` on a connected machine and
-`pytest tests/test_libparity.py -v` to execute the whole suite (see
-PARITY.md "Library cross-validation").
+*original* libraries when they are importable, and — dependency-free —
+against the reference's own vendored quantizer via a duck-typed PrettyMIDI
+(`test_quantize_matches_reference_parser_no_deps`, which ALWAYS runs). The
+build image has no network egress and no pip, so the library-driven tests
+skip here — run `pip install pretty_midi pypianoroll music21` on a
+connected machine and `pytest tests/test_libparity.py -v` to execute the
+whole suite (see PARITY.md "Library cross-validation").
 """
 import importlib.util
 import os
@@ -57,21 +59,93 @@ def _fixture_midi(tmp_path, name="fixture.mid", tempo_changes=None,
 
 
 def _load_reference_parser():
-    """Import the reference's polyphonic_event_based_v2 module in isolation
-    (it needs pypianoroll + tqdm at import time)."""
-    pytest.importorskip("pypianoroll")
-    if "tqdm" not in sys.modules:
-        try:
-            import tqdm  # noqa: F401
-        except ImportError:  # minimal stand-in: only imported, not used here
-            mod = types.ModuleType("tqdm")
-            mod.tqdm = lambda x, **k: x
-            sys.modules["tqdm"] = mod
+    """Import the reference's polyphonic_event_based_v2 module in isolation.
+    Its top-level imports (pypianoroll, tqdm) are stubbed when absent —
+    `parse_pretty_midi` itself uses neither, so the stubs never execute."""
+    for name in ("pypianoroll", "tqdm"):
+        if name not in sys.modules:
+            try:
+                importlib.import_module(name)
+            except ImportError:  # minimal stand-in: only imported, not used
+                mod = types.ModuleType(name)
+                mod.tqdm = lambda x, **k: x
+                sys.modules[name] = mod
     spec = importlib.util.spec_from_file_location("ref_poly",
                                                   REFERENCE_PARSER)
     ref = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref)
     return ref
+
+
+class _DuckTimeSignature:
+    """`pretty_midi.TimeSignature` stand-in: .time/.numerator/.denominator."""
+
+    def __init__(self, time, numerator, denominator):
+        self.time, self.numerator, self.denominator = \
+            time, numerator, denominator
+
+
+class _DuckInstrument:
+    def __init__(self, notes):
+        self.notes = notes            # MidiNote has .pitch/.velocity/.start/.end
+        self.is_drum = False
+
+
+class _DuckPrettyMIDI:
+    """The exact `pretty_midi.PrettyMIDI` surface the reference's vendored
+    `parse_pretty_midi` touches (reference polyphonic_event_based_v2.py:
+    280-301), backed by our MidiData — lets the cross-validation against the
+    reference's genuine quantizer run with no third-party libraries."""
+
+    def __init__(self, md: MidiData):
+        self._md = md
+        self.time_signature_changes = [
+            _DuckTimeSignature(t, n, d) for t, n, d in md.time_signatures]
+        self.instruments = [_DuckInstrument(list(md.notes))]
+
+    def get_tempo_changes(self):
+        times = np.asarray([t for t, _ in self._md.tempo_changes])
+        tempi = np.asarray([b for _, b in self._md.tempo_changes])
+        return times, tempi
+
+    def get_beats(self, first_beat_time):
+        return np.asarray(self._md.get_beats(first_beat_time))
+
+
+@pytest.mark.parametrize("seed,n_notes,tempo_changes", [
+    (13, 40, [(0.0, 120.0)]),
+    (13, 40, [(0.0, 90.0), (4.0, 140.0)]),
+    (3, 120, [(0.0, 200.0), (2.0, 60.0), (6.0, 100.0)]),   # dense: collisions
+    (99, 80, [(0.0, 150.0)]),
+])
+def test_quantize_matches_reference_parser_no_deps(seed, n_notes,
+                                                   tempo_changes):
+    """quantize_pianoroll == the reference's own vendored parser
+    (polyphonic_event_based_v2.py:195-414), bit-exact, with the PrettyMIDI
+    object duck-typed from our MidiData — runs on boxes without
+    pretty_midi/pypianoroll (unlike the file-driven variant below, which
+    additionally pins our MIDI reader against pretty_midi itself)."""
+    ref = _load_reference_parser()
+    rng = np.random.RandomState(seed)
+    notes = []
+    t = 0.0
+    for _ in range(n_notes):
+        pitch = int(rng.randint(40, 90))
+        vel = int(rng.randint(30, 120))
+        dur = float(rng.choice([0.125, 0.25, 0.5, 1.0]))
+        notes.append(MidiNote(pitch, vel, round(t, 6), round(t + dur, 6)))
+        if rng.rand() < 0.3:  # chord partner: simultaneous onsets
+            notes.append(MidiNote(pitch + 4, vel,
+                                  round(t, 6), round(t + dur, 6)))
+        t += float(rng.choice([0.0, 0.125, 0.25, 0.5]))  # incl. re-onsets
+    md = MidiData(notes=notes, tempo_changes=list(tempo_changes),
+                  time_signatures=[(0.0, 4, 4)], resolution=480)
+
+    ref_roll = ref.parse_pretty_midi(_DuckPrettyMIDI(md), beat_resolution=4)
+    our_roll = quantize_pianoroll(md, beat_resolution=4)
+
+    assert np.asarray(ref_roll).shape == our_roll.shape
+    np.testing.assert_array_equal(np.asarray(ref_roll, np.uint8), our_roll)
 
 
 @pytest.mark.parametrize("tempo_changes", [
