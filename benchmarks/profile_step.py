@@ -73,6 +73,10 @@ def main():
         stacked, nb = tr._stack_epoch(arrays, cfg.batch_size, False, 0)
         stacked = {k: v[: args.iters] for k, v in stacked.items()}
         nb = min(nb, args.iters)
+        # device-resident batches, like the path being traced (bench.py /
+        # Trainer.time_epoch place the epoch arrays before the timed call) —
+        # otherwise each fn() re-transfers the epoch inside the trace window
+        stacked = tr._place_stacked(stacked, nb, cfg.batch_size)
         key = ("default", True, nb, cfg.batch_size)
         if key not in tr._epoch_fns:
             tr._epoch_fns[key] = tr._build_epoch_fn(

@@ -66,10 +66,13 @@ def _pad_rows(rows, insert_eos: bool = False, dtype=np.int32) -> np.ndarray:
     """Zero-pad variable-length rows to the longest row, mirroring torch's
     `pad_sequence(batch_first=True)` (reference ptb_v2.py:460,468-469).
     With insert_eos, first insert EOS (token 1) before each row's LAST
-    element — the reference's `np.insert(k, -1, 1)` at ptb_v2.py:459."""
+    element — the reference's `np.insert(k, -1, 1)` at ptb_v2.py:459. An
+    empty row becomes a lone EOS (np.insert's -1 index would raise there;
+    we replicate behavior, not the crash)."""
     rows = [np.asarray(r).ravel() for r in rows]
     if insert_eos:
-        rows = [np.insert(r, -1, 1) for r in rows]
+        rows = [np.insert(r, -1, 1) if len(r) else np.array([1], dtype)
+                for r in rows]
     T = max((len(r) for r in rows), default=0)
     out = np.zeros((len(rows), T), dtype=dtype)
     for i, r in enumerate(rows):

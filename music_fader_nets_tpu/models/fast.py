@@ -130,11 +130,6 @@ def _unpack_subs(group: Dict, dr: int, dn: int, z_dims: int):
     return mk(0, dr), mk(1, dn)
 
 
-def is_fast(params) -> bool:
-    return isinstance(params, dict) and (
-        "enc_rn" in params or "enc_1" in params or "enc_e" in params)
-
-
 def split_fast(params: Dict) -> Tuple[Dict, Dict]:
     """Canonical params -> (fast params, frozen parity-only leaves)."""
     p = dict(params)

@@ -26,14 +26,10 @@ from music_fader_nets_tpu.models.modules import (
     global_decoder_init,
     global_decoder_teacher,
     global_decoder_teacher_nll,
-    sub_decoder_apply,
-    sub_decoder_pair_apply,
 )
 from music_fader_nets_tpu.models.vae import (
-    _enc_view,
     _global_view,
     _sub_pair_apply,
-    _sub_view,
     init_reg_vae,
     reg_vae_encode,
 )

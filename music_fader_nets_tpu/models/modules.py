@@ -193,13 +193,13 @@ def sub_decoder_pair_apply_packed(sub: dict, init_r, init_n, out_r, out_n,
     Z = z_r.shape[-1]
     dm = sub["w_ih"].shape[1] - Z
 
-    if use_pallas and track_ids is not None:
+    Cp = 128  # lane-aligned class-embedding pad (kernel path needs dm <= Cp)
+    if use_pallas and track_ids is not None and dm <= Cp:
         from music_fader_nets_tpu.ops import pallas_gru
         from music_fader_nets_tpu.parallel import mesh as mesh_lib
         kind, mesh = pallas_gru.kernel_dispatch(B)
         if kind is not None:
             dt = r_oh.dtype
-            Cp = 128                                 # lane-aligned class pad
             w_emb = jnp.pad(sub["w_ih"][:, :dm],
                             ((0, 0), (0, Cp - dm), (0, 0)))
             w_z = sub["w_ih"][:, dm:]                # (2, Z, 3H)

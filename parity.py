@@ -281,7 +281,7 @@ def check_token_stream(tokens_path: str, limit: int) -> bool:
 
     rows = np.load(tokens_path, allow_pickle=True)
     n = len(rows) if limit <= 0 else min(limit, len(rows))
-    exact, bad_rows, first_bads = 0, 0, []
+    exact, first_bads = 0, []
     role_mismatch = {}
     for i in range(n):
         toks = [int(t) for t in np.asarray(rows[i]).ravel()]
@@ -293,7 +293,6 @@ def check_token_stream(tokens_path: str, limit: int) -> bool:
         if back == toks:
             exact += 1
             continue
-        bad_rows += 1
         k = next((j for j in range(min(len(back), len(toks)))
                   if back[j] != toks[j]), min(len(back), len(toks)))
         ref_t = toks[k] if k < len(toks) else None

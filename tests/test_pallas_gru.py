@@ -775,3 +775,37 @@ def test_sub_pair_packed_track_ids_matches(monkeypatch):
     for (path, a), (_, b_) in zip(flat_r, flat_p):
         np.testing.assert_allclose(b_, a, atol=2e-4, rtol=1e-3,
                                    err_msg=str(path))
+
+
+def test_sub_pair_packed_wide_class_dims_fall_back(monkeypatch):
+    """Class dims wider than the kernel's 128-lane embedding pad must take
+    the generic packed-einsum branch (a negative jnp.pad raised at trace
+    time before the dm<=Cp guard), and still match the no-kernel path."""
+    from music_fader_nets_tpu.models.modules import (
+        sub_decoder_pair_apply_packed)
+    from music_fader_nets_tpu.models import fast as fast_lib
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu import models
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = ModelConfig(hidden_dims=16, z_dims=8, seq_len=12, attr_len=4,
+                      note_dims=200)
+    p = models.init_reg_vae(jax.random.PRNGKey(0), cfg)
+    fp, _ = fast_lib.split_fast(p)
+    B = 4
+    key = jax.random.PRNGKey(1)
+    r_ids = jax.random.randint(key, (B, 4), 0, 3)
+    n_ids = jax.random.randint(key, (B, 4), 0, 200)
+    z_r = jax.random.normal(key, (B, 8))
+    z_n = jax.random.normal(jax.random.PRNGKey(2), (B, 8))
+
+    def run(use_kernel):
+        return sub_decoder_pair_apply_packed(
+            fp["sub_rn"], fp["linear_init_r"], fp["linear_init_n"],
+            fp["linear_out_r"], fp["linear_out_n"],
+            jax.nn.one_hot(r_ids, 3), jax.nn.one_hot(n_ids, 200),
+            z_r, z_n, True, use_pallas=use_kernel,
+            track_ids=(r_ids, n_ids) if use_kernel else None)
+
+    for a, b_ in zip(run(True), run(False)):
+        np.testing.assert_allclose(a, b_, atol=1e-5)

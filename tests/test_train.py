@@ -85,6 +85,24 @@ def test_vgmidi_ragged_reference_semantics():
                                   (arousal[:tlen] >= 0).astype(np.int32))
 
 
+def test_vgmidi_ragged_empty_row():
+    """An empty token row in the ragged release becomes a lone EOS instead
+    of crashing np.insert (we replicate reference behavior, not the
+    IndexError its -1 index would raise there)."""
+    def obj(rows):
+        out = np.empty(len(rows), dtype=object)
+        for i, r in enumerate(rows):
+            out[i] = np.asarray(r, np.int64)
+        return out
+
+    d_rows = obj([[5, 6, 7], [], [9, 10]])
+    tracks = obj([[1, 0], [1], [0, 2]])
+    ones = np.ones(3)
+    ds = VGMIDIDataset(d_rows, tracks, tracks, np.zeros((3, 24)),
+                       ones, ones, mode="train")
+    np.testing.assert_array_equal(ds.data[1], [1, 0, 0, 0])
+
+
 def test_vgmidi_ragged_trains():
     """GM-VAE supervised epoch straight off the ragged released format."""
     from music_fader_nets_tpu.data.synthetic import synth_vgmidi_ragged
