@@ -91,6 +91,55 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
     return batch_size / step_t, step_t, per_dec, windows
 
 
+FAMILIES = ("vanilla", "gmm", "glsr", "cvae", "fader", "singlevae")
+
+
+def measure_families(batch_size: int, seq_len: int, attr_len: int,
+                     iters: int, dtype: str) -> dict:
+    """On-chip compiled-epoch step time for ALL SIX model families
+    (round-4 VERDICT next #1): one Trainer per family over the same
+    synthetic Yamaha corpus, kernels requested everywhere. Returns
+    {family: {step_ms_*, seqs_per_sec, tflops, mfu, train_path}}."""
+    import statistics
+    from music_fader_nets_tpu.train.cli import (
+        MODEL_REGISTRY, enable_compilation_cache,
+    )
+    enable_compilation_cache()
+    from benchmarks.flops import step_mfu, step_tflops
+    from music_fader_nets_tpu.config import ModelConfig
+    from music_fader_nets_tpu.data import YamahaDataset
+    from music_fader_nets_tpu.data.synthetic import synth_corpus
+    from music_fader_nets_tpu.ops import pallas_gru
+    from music_fader_nets_tpu.train import Trainer
+
+    yam = YamahaDataset(*synth_corpus(max(4 * batch_size, 512), seq_len,
+                                      attr_len), mode="train")
+    arrays = yam.arrays()
+    out = {}
+    for kind in FAMILIES:
+        spec = MODEL_REGISTRY[kind]
+        cfg = ModelConfig(num_clusters=2, batch_size=batch_size,
+                          seq_len=seq_len, attr_len=attr_len, dtype=dtype,
+                          use_pallas_gru=True)
+        tr = Trainer(cfg, spec["init"],
+                     {"default": spec["losses"]["default"]})
+        pallas_gru.LAST_TRAIN_PATH = None
+        step_t, windows = tr.compiled_step_time(arrays, iters=iters,
+                                                spread=True)
+        med = statistics.median(windows)
+        out[kind] = {
+            "step_ms_best": round(min(windows) * 1e3, 3),
+            "step_ms_median": round(med * 1e3, 3),
+            "seqs_per_sec": round(batch_size / med, 1),
+            "tflops": round(step_tflops(cfg, med, kind), 1),
+            "mfu": (round(step_mfu(cfg, med, kind), 3)
+                    if dtype == "bfloat16" else None),
+            "train_path": pallas_gru.LAST_TRAIN_PATH,
+        }
+        print(f"# {kind}: {out[kind]}", file=sys.stderr)
+    return out
+
+
 def measure_torch_baseline(batch_size: int, seq_len: int, attr_len: int,
                            refresh: bool):
     key = f"gmvae_b{batch_size}_t{seq_len}" + (
@@ -198,10 +247,28 @@ def main():
     ap.add_argument("--max-wait", type=float, default=2700.0,
                     help="guard wall-clock bound, seconds (covers cold "
                          "Mosaic compiles of both corpus variants)")
+    ap.add_argument("--families", action="store_true",
+                    help="measure the compiled step time of ALL SIX model "
+                         "families instead of the headline GM-VAE number")
     args = ap.parse_args()
     if not args.no_guard:
         argv = [a for a in sys.argv[1:] if a != "--no-guard"]
-        sys.exit(run_guarded(argv, args.max_wait))
+        wait = args.max_wait
+        if args.families and wait == 2700.0:
+            wait = 5400.0        # six families may all cold-compile
+        sys.exit(run_guarded(argv, wait))
+
+    if args.families:
+        fams = measure_families(args.batch_size, args.seq_len,
+                                args.attr_len, args.iters, args.dtype)
+        print(json.dumps({
+            "metric": "family_train_step_ms_median",
+            "value": fams["gmm"]["step_ms_median"],
+            "unit": "ms", "dtype": args.dtype,
+            "batch_size": args.batch_size, "seq_len": args.seq_len,
+            "families": fams,
+        }))
+        return
 
     seqs_per_sec, step_t, decode_windows, windows = measure_jax(
         args.batch_size, args.seq_len, args.attr_len, args.iters, args.dtype)
@@ -209,10 +276,24 @@ def main():
         args.batch_size, args.seq_len, args.attr_len, args.refresh_baseline)
 
     import statistics
+    # analytic roofline fields (benchmarks/flops.py): tflops = achieved
+    # matmul FLOPs/s under the documented counting rules; mfu against the
+    # v5e bf16 peak (bf16 runs only — f32 matmuls lower to multi-pass MXU
+    # ops with no single defensible peak). These are the primary perf
+    # claims; vs_baseline (1-core eager-torch CPU, the only reference
+    # implementation this box can run) is kept as a secondary field.
+    from benchmarks.flops import step_mfu, step_tflops
+    from music_fader_nets_tpu.config import ModelConfig as _MC
+    _cfg = _MC(batch_size=args.batch_size, seq_len=args.seq_len,
+               attr_len=args.attr_len)
+    med_t = statistics.median(windows)
     result = {
         "metric": "gmvae_train_seqs_per_sec_per_chip",
         "value": round(seqs_per_sec, 1),
         "unit": "seq/s",
+        "tflops": round(step_tflops(_cfg, med_t, "gmm"), 1),
+        "mfu": (round(step_mfu(_cfg, med_t, "gmm"), 3)
+                if args.dtype == "bfloat16" else None),
         "vs_baseline": round(seqs_per_sec / baseline, 2) if baseline else None,
         "dtype": args.dtype,
         # best/median/worst of the 3 timing windows: makes perf-delta claims
@@ -228,13 +309,19 @@ def main():
         "decode300_ms_best": (round(min(decode_windows) * 1e3, 2)
                               if decode_windows is not None else None),
     }
-    # which path served the decode number — a kernel regression must not
-    # silently demote the headline to the scan (ops/pallas_decode.py)
-    from music_fader_nets_tpu.ops import pallas_decode
+    # which paths served the numbers — a kernel regression must not
+    # silently demote the headline to the scan (ops/pallas_decode.py,
+    # ops/pallas_gru.LAST_TRAIN_PATH)
+    from music_fader_nets_tpu.ops import pallas_decode, pallas_gru
     result["decode_path"] = pallas_decode.LAST_DECODE_PATH
+    result["train_path"] = pallas_gru.LAST_TRAIN_PATH
     if pallas_decode.LAST_DECODE_PATH != "kernel":
         print(f"# WARNING: decode served by "
               f"{pallas_decode.LAST_DECODE_PATH!r}, not the pallas kernel",
+              file=sys.stderr)
+    if pallas_gru.LAST_TRAIN_PATH not in ("kernel-single", "kernel-dp"):
+        print(f"# WARNING: training recurrences served by "
+              f"{pallas_gru.LAST_TRAIN_PATH!r}, not the pallas kernels",
               file=sys.stderr)
 
     long_note = ""

@@ -71,10 +71,19 @@ def _load_params(kind: str, cfg: ModelConfig, args):
                 "opt_state": make_optimizer(cfg).init(template),
                 "step": jnp.zeros((), jnp.int32)}
         try:
-            return restore_checkpoint(ckpt_dir, full)["params"]
-        except Exception:
-            # legacy params-only checkpoint layout
-            return restore_checkpoint(ckpt_dir, template)
+            params = restore_checkpoint(ckpt_dir, full)["params"]
+            print("restored full-state checkpoint layout")
+            return params
+        except ValueError as e:
+            # ONLY an orbax tree-structure mismatch means "this is the
+            # legacy params-only layout"; any other failure (corrupt /
+            # truncated checkpoint data) must fail loudly rather than be
+            # silently evaluated as a half-restored tree
+            if "tree structures do not match" not in str(e):
+                raise
+        params = restore_checkpoint(ckpt_dir, template)
+        print("restored legacy params-only checkpoint layout")
+        return params
     print(f"WARNING: no checkpoint at {ckpt_dir}; evaluating random init")
     return template
 

@@ -242,31 +242,28 @@ class ControllabilityEvaluator:
         c = jnp.repeat(jnp.asarray(items["c"]), V8, axis=0)
         return jnp.concatenate([z_r, z_n, c.astype(z_r.dtype)], axis=-1)
 
-    # -- device decode, chunked ---------------------------------------------
+    # -- device decode --------------------------------------------------------
 
-    # Pallas kernel batch cap; fixed shape = one compile. Measured winner
-    # for a 160-row eval wave (benchmarks/decode_crossover.py, v5e): 3x64
-    # chunked kernel calls 2.48 ms vs one 160-row scan 2.97 ms.
+    # Pad granularity. The kernel path auto-chunks >64-row batches inside
+    # the op itself (ops/pallas_decode.py::_CHUNK, the measured winner per
+    # benchmarks/decode_crossover.py); padding waves to a multiple of it
+    # here just keeps the SCAN fallback's compile set bounded (wave sizes
+    # vary per retry round).
     _CHUNK = 64
 
     def _decode_all(self, z_full) -> np.ndarray:
-        """(M, z_total) -> (M, steps) int tokens, decoded in fixed-size
-        chunks so every call hits the same compiled executable (the Pallas
-        VMEM-resident kernel when available)."""
+        """(M, z_total) -> (M, steps) int tokens, in one decode call
+        (the op handles kernel chunking internally)."""
         z_full = np.asarray(z_full)
         M, zt = z_full.shape
-        out = []
-        for s in range(0, M, self._CHUNK):
-            chunk = z_full[s: s + self._CHUNK]
-            pad = self._CHUNK - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, zt), chunk.dtype)])
-            toks = np.asarray(self._decode_jit(self.params,
-                                               jnp.asarray(chunk)))
-            out.append(toks[: self._CHUNK - pad])
-        return np.concatenate(out) if out else np.zeros((0, self.decode_steps),
-                                                        np.int32)
+        if M == 0:
+            return np.zeros((0, self.decode_steps), np.int32)
+        pad = (-M) % self._CHUNK
+        if pad:
+            z_full = np.concatenate(
+                [z_full, np.zeros((pad, zt), z_full.dtype)])
+        toks = np.asarray(self._decode_jit(self.params, jnp.asarray(z_full)))
+        return toks[:M]
 
     # -- main loop ----------------------------------------------------------
 

@@ -277,24 +277,31 @@ def init_cvae(key, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     return p
 
 
-def cvae_encode(params, x_oh, r_density, n_density):
+def cvae_encode(params, x_oh, r_density, n_density,
+                use_pallas: bool = False):
     """Conditions are repeated along time and concatenated to the tokens
-    (reference model_v2.py:342-354). r/n_density: (B, 1)."""
+    (reference model_v2.py:342-354). r/n_density: (B, 1).
+
+    The encoder input is [one-hot ⊕ 2 conditions] — NOT pure one-hot — so
+    the embedded-token kernel never applies here, but the generic stacked
+    GRU kernel (ops/pallas_gru.stacked_gru_scan_pallas) does."""
     B, T, _ = x_oh.shape
     cond = jnp.concatenate([r_density, n_density], axis=-1)        # (B, 2)
     cond_rep = jnp.broadcast_to(cond[:, None, :], (B, T, 2)).astype(x_oh.dtype)
     x_in = jnp.concatenate([x_oh, cond_rep], axis=-1)
     if "enc_e" in params:
         return encode_streams_fused_packed(
-            params["enc_e"], [(params["mu"], params["var"])], x_in)[0]
+            params["enc_e"], [(params["mu"], params["var"])], x_in,
+            use_pallas=use_pallas)[0]
     view = {"gru": params["gru_e"], "mu": params["mu"], "var": params["var"]}
-    return encode_streams_fused([view], x_in)[0]
+    return encode_streams_fused([view], x_in, use_pallas=use_pallas)[0]
 
 
 def cvae_forward(params, rng, x_oh, chroma, r_density, n_density,
                  cfg: ModelConfig, train: bool = True, tokens=None,
                  nll_targets=None) -> Dict:
-    mu, std = cvae_encode(params, x_oh, r_density, n_density)
+    mu, std = cvae_encode(params, x_oh, r_density, n_density,
+                          use_pallas=cfg.use_pallas_gru)
     z = reparameterize(rng, mu, std)
     z_full = jnp.concatenate(
         [z, r_density.astype(z.dtype), n_density.astype(z.dtype)], axis=-1)

@@ -43,22 +43,57 @@ F32 = jnp.float32
 INTERPRET = False
 
 
+# which path the LAST kernel_dispatch decision routed TRAINING recurrences
+# to: "kernel-single", "kernel-dp", or a scan reason ("scan-cpu",
+# "scan-tp-mesh", "scan-indivisible-batch"). kernel_dispatch is only
+# consulted when kernels were REQUESTED (cfg.use_pallas_gru / use_pallas=
+# True call sites), so a "scan-*" value here always means a requested
+# kernel silently degraded to the GSPMD scan — bench.py surfaces it as
+# `train_path` in its JSON line, mirroring pallas_decode.LAST_DECODE_PATH
+# (round-4 VERDICT "what's weak" #4).
+LAST_TRAIN_PATH = None
+
+_warned_train_fallback = False
+
+
 def kernel_dispatch(B: int):
     """The ONE applicability rule for every pallas training kernel here.
 
     Returns ('single', None) on a bare TPU (or interpret mode),
     ('dp', mesh) under a pure-dp trace mesh with a divisible batch (the
     shard_map wrappers apply), and (None, None) otherwise — tp meshes and
-    CPU fall back to the GSPMD-partitionable XLA scans."""
+    CPU fall back to the GSPMD-partitionable XLA scans.
+
+    Every call records `LAST_TRAIN_PATH`; a fallback ON TPU (tp mesh /
+    indivisible batch — the user asked for kernels on hardware that has
+    them) additionally warns once per process. CPU fallbacks stay quiet:
+    that is the documented test/dev configuration, not a degradation."""
+    global LAST_TRAIN_PATH, _warned_train_fallback
     if jax.default_backend() != "tpu" and not INTERPRET:
+        LAST_TRAIN_PATH = "scan-cpu"
         return None, None
     from music_fader_nets_tpu.parallel import mesh as mesh_lib
     mesh = mesh_lib.current_trace_mesh()
     if mesh is None or mesh.size == 1:
+        LAST_TRAIN_PATH = "kernel-single"
         return "single", None
     n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
     if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1 and B % n_data == 0:
+        LAST_TRAIN_PATH = "kernel-dp"
         return "dp", mesh
+    if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) != 1:
+        LAST_TRAIN_PATH = "scan-tp-mesh"
+    else:
+        LAST_TRAIN_PATH = "scan-indivisible-batch"
+    if not _warned_train_fallback:
+        import warnings
+        warnings.warn(
+            f"pallas GRU training kernels requested but inapplicable here "
+            f"({LAST_TRAIN_PATH}: mesh "
+            f"{dict(mesh.shape)}, per-process batch {B}); training runs "
+            f"the GSPMD-partitioned XLA scan instead",
+            RuntimeWarning, stacklevel=3)
+        _warned_train_fallback = True
     return None, None
 
 

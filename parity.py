@@ -27,6 +27,12 @@ on any failure):
      exact-match rate (SURVEY.md §7 hard part 6: match the Magenta fork).
 
 Model family is inferred from the checkpoint filename (--kind overrides).
+
+Sweep mode — the moment the whole released `params/` directory appears,
+one command validates all six checkpoints and prints a summary table
+(nonzero exit on any MISSING or FAIL):
+
+  python parity.py --params-dir params/ --data-dir data/values_v3
 """
 from __future__ import annotations
 
@@ -43,6 +49,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import jax.numpy as jnp  # noqa: E402
 
 KINDS = ("singlevae", "vanilla", "gmm", "glsr", "cvae", "fader")
+
+# the six released checkpoints, exactly as named in the reference's
+# .MISSING_LARGE_BLOBS manifest (reference README.md:34: "Some pre-trained
+# models are attached in the `params` folder")
+RELEASED_CKPTS = (
+    ("music_attr_vae_reg_vanilla.pt", "vanilla"),
+    ("music_attr_vae_reg_gmm.pt", "gmm"),
+    ("music_attr_vae_reg_glsr.pt", "glsr"),
+    ("music_attr_vae_reg_cvae.pt", "cvae"),
+    ("music_attr_fader.pt", "fader"),
+    ("music_attr_vae_reg_singlevae.pt", "singlevae"),
+)
 
 
 def infer_kind(path: str) -> str:
@@ -322,10 +340,55 @@ def check_token_stream(tokens_path: str, limit: int) -> bool:
     return ok
 
 
+def run_sweep(args) -> bool:
+    """--params-dir mode (round-4 VERDICT next #5): discover the six
+    released checkpoint names under the directory, run converter
+    round-trip + torch forward parity (+ Table-1 eval unless --skip-eval)
+    per checkpoint, then print ONE summary table. A missing checkpoint or
+    any failing section makes the sweep fail."""
+    import torch
+    rows = []
+    for fname, kind in RELEASED_CKPTS:
+        path = os.path.join(args.params_dir, fname)
+        print(f"\n=== {kind}: {fname} ===")
+        if not os.path.exists(path):
+            print("MISSING")
+            rows.append((kind, fname, None, None, None))
+            continue
+        sd = torch.load(path, map_location="cpu")
+        sd = {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
+        rt = check_roundtrip(sd)
+        fw = check_forward(sd, kind)
+        ev = None
+        if not args.skip_eval:
+            args.from_pt = path        # run_table1_eval reads it from args
+            ev = run_table1_eval(kind, args)
+        rows.append((kind, fname, rt, fw, ev))
+
+    def cell(v):
+        return "-" if v is None else ("PASS" if v else "FAIL")
+
+    ok = True
+    print("\nsweep summary:")
+    print(f"{'kind':<10} {'checkpoint':<34} {'roundtrip':<10} "
+          f"{'forward':<8} table1")
+    for kind, fname, rt, fw, ev in rows:
+        missing = rt is None and fw is None
+        ok = ok and not missing and bool(rt) and bool(fw) and ev is not False
+        first = "MISSING" if missing else cell(rt)
+        print(f"{kind:<10} {fname:<34} {first:<10} {cell(fw):<8} {cell(ev)}")
+    print("sweep:", "ALL PASS" if ok else "FAILURES PRESENT")
+    return ok
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--from-pt", default=None,
                     help="released reference .pt checkpoint")
+    ap.add_argument("--params-dir", default=None,
+                    help="sweep mode: directory holding the six released "
+                         ".pt checkpoints; validates each and prints one "
+                         "summary table (mutually exclusive with --from-pt)")
     ap.add_argument("--kind", default=None, choices=KINDS)
     ap.add_argument("--data-dir", default=None,
                     help="real corpus cache dir (data/values_v3 schema)")
@@ -344,11 +407,16 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     from music_fader_nets_tpu.train.cli import enable_compilation_cache
     enable_compilation_cache()
-    if not args.from_pt and not args.tokens:
-        ap.error("nothing to do: pass --from-pt and/or --tokens")
+    if args.params_dir and args.from_pt:
+        ap.error("--params-dir and --from-pt are mutually exclusive")
+    if not args.from_pt and not args.tokens and not args.params_dir:
+        ap.error("nothing to do: pass --from-pt, --params-dir and/or "
+                 "--tokens")
 
     results = []
-    if args.from_pt:
+    if args.params_dir:            # NB: run_sweep reuses args.from_pt per
+        results.append(run_sweep(args))  # checkpoint — hence the elif
+    elif args.from_pt:
         import torch
         kind = args.kind or infer_kind(args.from_pt)
         print(f"checkpoint: {args.from_pt} (kind={kind})")

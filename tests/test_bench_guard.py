@@ -58,3 +58,28 @@ def test_last_json_line_picks_final_parseable():
     ])
     assert json.loads(bench._last_json_line(text))["metric"] == "b"
     assert bench._last_json_line("no json here\n") is None
+
+
+def test_analytic_flops_accounting():
+    """benchmarks/flops.py sanity: family relations + a regression pin of
+    the headline GM-VAE geometry (456.9 GFLOP/step, derivation in the
+    module docstring / docs/kernels.md roofline section)."""
+    from benchmarks.flops import train_step_flops
+    from music_fader_nets_tpu.config import ModelConfig
+
+    cfg = ModelConfig(num_clusters=2, seq_len=100, attr_len=16)
+    f = {k: train_step_flops(cfg, k)
+         for k in ("vanilla", "gmm", "glsr", "cvae", "fader", "singlevae")}
+    # GMM prior work is not matmul FLOPs: gmm == vanilla under the rules
+    assert f["gmm"] == f["vanilla"]
+    # GLSR adds the 4B-row perturbation decode
+    assert f["glsr"] > 2 * f["vanilla"]
+    # CVAE pays a real dense input projection; fader (one-hot) does not
+    assert f["cvae"] > f["fader"]
+    # single-stream families are cheaper than the disentangled ones
+    assert f["singlevae"] < f["vanilla"]
+    assert abs(f["gmm"] - 456.9e9) / 456.9e9 < 0.01
+    # scale check: FLOPs grow linearly in batch
+    cfg2 = ModelConfig(num_clusters=2, seq_len=100, attr_len=16,
+                       batch_size=256)
+    assert abs(train_step_flops(cfg2, "gmm") - 2 * f["gmm"]) / f["gmm"] < 0.02

@@ -117,6 +117,52 @@ def test_parity_harness_on_synthetic_standins(tmp_path):
     assert "100.00%" in out.stdout
 
 
+def test_parity_sweep_over_six_standins(tmp_path):
+    """parity.py --params-dir (round-4 VERDICT next #5): six synthetic
+    stand-ins named exactly as the released blobs -> converter round-trip
+    + torch forward parity per checkpoint + ONE summary table; a missing
+    checkpoint flips the exit code. (--skip-eval keeps this a smoke test;
+    the Table-1 leg is exercised by test_parity_harness_on_synthetic_
+    standins above through the same run_table1_eval.)"""
+    gen = (
+        "import numpy as np, torch, jax; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        "from music_fader_nets_tpu.config import ModelConfig; "
+        "from music_fader_nets_tpu.train.cli import MODEL_REGISTRY; "
+        "from music_fader_nets_tpu.utils.checkpoint import "
+        "params_to_torch_state_dict; "
+        "import parity; "
+        "cfg = ModelConfig(num_clusters=2, hidden_dims=32, z_dims=16, "
+        "seq_len=12, attr_len=4); "
+        "[torch.save({k: torch.from_numpy(np.array(v)) for k, v in "
+        "params_to_torch_state_dict(MODEL_REGISTRY[kind]['init']("
+        "jax.random.PRNGKey(i), cfg)).items()}, "
+        f"r'{tmp_path}' + '/' + fname) "
+        "for i, (fname, kind) in enumerate(parity.RELEASED_CKPTS)]"
+    )
+    out = subprocess.run([sys.executable, "-c", gen], cwd=REPO,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    out = _run(["parity.py", "--params-dir", str(tmp_path),
+                "--skip-eval", "--platform", "cpu"], timeout=1500)
+    assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-1500:]
+    assert "sweep summary:" in out.stdout
+    assert "PARITY: ALL PASS" in out.stdout
+    for kind in ("vanilla", "gmm", "glsr", "cvae", "fader", "singlevae"):
+        line = next(ln for ln in out.stdout.splitlines()
+                    if ln.startswith(kind))
+        assert line.count("PASS") == 2 and "FAIL" not in line, line
+
+    # a missing checkpoint must flip the exit code, not be skipped quietly
+    os.remove(tmp_path / "music_attr_fader.pt")
+    out = _run(["parity.py", "--params-dir", str(tmp_path),
+                "--skip-eval", "--platform", "cpu"], timeout=1500)
+    assert out.returncode == 1
+    assert "MISSING" in out.stdout
+    assert "FAILURES PRESENT" in out.stdout
+
+
 def test_dryrun_multichip_bootstraps_from_one_device():
     """Regression for the round-1 driver failure (MULTICHIP_r01.json rc=1):
     dryrun_multichip must self-bootstrap into an 8-device child even when the

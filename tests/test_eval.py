@@ -212,8 +212,10 @@ def test_arousal_transfer(tmp_path, arrays):
     assert os.path.getsize(out) > 20
 
 
-def test_decode_all_chunking(arrays):
-    """Chunked decode pads to the fixed chunk size and reassembles rows."""
+def test_decode_all_pads_to_chunk(arrays):
+    """_decode_all pads the wave to the chunk granularity and makes ONE
+    decode call (kernel chunking lives inside the op now,
+    ops/pallas_decode.py::_chunked_kernel_decode), then slices the pad off."""
     params = models.init_reg_vae(jax.random.PRNGKey(0), CFG)
     import jax.numpy as jnp
     calls = []
@@ -230,9 +232,9 @@ def test_decode_all_chunking(arrays):
     z = np.random.default_rng(0).normal(size=(70, 2 * CFG.z_dims + 24))
     toks = ev._decode_all(z)
     assert toks.shape == (70, 5)
-    assert all(shape == (64, z.shape[1]) for shape in calls)  # fixed chunks
-    # rows preserved in order: first chunk rows 0..63, second 0..5
-    assert toks[0, 0] == 0 and toks[63, 0] == 63 and toks[64, 0] == 0
+    assert calls == [(128, z.shape[1])]       # one padded fixed-shape call
+    # rows preserved in order; pad rows sliced off
+    assert toks[0, 0] == 0 and toks[63, 0] == 63 and toks[69, 0] == 69
 
 
 def test_metric_arithmetic_analytic(monkeypatch):

