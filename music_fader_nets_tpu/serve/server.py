@@ -1,0 +1,309 @@
+"""Batched low-latency serving for fader-controlled generation.
+
+The reference's inference story is a notebook (`arousal_transfer.ipynb`)
+that decodes one segment at a time with an eager per-token loop — thousands
+of kernel dispatches per request. This module is its production form,
+designed around how a TPU actually serves:
+
+  * **One compiled executable, forever.** Every batch is padded to a fixed
+    `max_batch` x `seq_len` shape and runs ONE jitted program (encode +
+    latent shift + `steps`-step greedy decode fused), so after warmup no
+    request ever triggers a compile. `steps` is fixed per server for the
+    same reason; requests asking for fewer steps get a truncated slice of
+    the fixed-shape output.
+  * **Micro-batching.** Concurrent requests are coalesced (up to
+    `max_batch` rows or `max_wait_ms`, whichever first) into one device
+    program launch, amortizing the per-dispatch RPC latency (~14 ms on a
+    tunneled chip) and the host->device transfer across the whole batch.
+    `max_batch` defaults to 64 — the VMEM-carry cap of the Pallas decode
+    kernel and the measured chunk optimum (benchmarks/decode_crossover.py).
+  * **VMEM-resident decode.** On TPU the greedy decode runs the Pallas
+    kernel (`ops/pallas_decode.py`): all decoder weights pinned in VMEM for
+    the full autoregressive run, only int32 tokens leave the core. Off-TPU
+    (or on kernel failure, detected at warmup) the server rebuilds its step
+    around the XLA scan — same results, slower.
+  * **One compute thread.** JAX dispatch is serialized through a single
+    dispatcher thread; any number of front-end threads (stdin, TCP
+    connections) enqueue requests and block on futures.
+
+Requests are plain dicts (the JSON-line protocol of `serve/cli.py`):
+
+    {"id": "r1", "tokens": [...], "chroma": [24 floats]?,
+     "direction": "low_to_high"|"high_to_low"|"none", "lam": 1.0,
+     "steps": 300?, "seed": 7?, "return_z": false?}
+
+`direction`/`lam` move the latent along the GM-VAE component-mean line
+exactly as `transfer/arousal.py` (notebook cells 11-15). By default z is
+the posterior MEAN — deterministic serving; pass `seed` for the notebook's
+sampled-z behavior (per-request reproducible). Families without mixture
+tables (vanilla/glsr checkpoints share the encoder/decoder layout) are
+served reconstruct-only: any non-"none" direction is rejected per-request.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_fader_nets_tpu.config import ModelConfig
+from music_fader_nets_tpu.models.vae import _global_view, reg_vae_encode
+from music_fader_nets_tpu.ops.pallas_decode import (
+    _FALLBACK_ERRORS, _scan_decode_tokens, pallas_greedy_decode,
+)
+from music_fader_nets_tpu.transfer.arousal import compute_shift_vectors
+
+_DIRECTIONS = ("none", "low_to_high", "high_to_low")
+
+
+def _build_step(cfg: ModelConfig, steps: int, use_pallas: bool):
+    """The ONE program every batch runs: one-hot -> encoder -> mean/sampled
+    z -> per-row latent shift -> greedy decode. Created once per server so
+    its jit wrapper (and compile cache entry) is process-stable."""
+
+    def step(params, tokens, chroma, shift_r, shift_n, lam, eps_r, eps_n):
+        x_oh = jax.nn.one_hot(tokens, cfg.roll_dims, dtype=jnp.float32)
+        (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(
+            params, x_oh, use_pallas=use_pallas, tokens=tokens)
+        # eps rows are ZERO for deterministic (mean) rows
+        z_r = mu_r + std_r * eps_r + lam[:, None] * shift_r
+        z_n = mu_n + std_n * eps_n + lam[:, None] * shift_n
+        z = jnp.concatenate([z_r, z_n, chroma.astype(z_r.dtype)], axis=-1)
+        gview = _global_view(params)
+        if use_pallas:
+            out = pallas_greedy_decode(gview, z, steps)
+        else:
+            out = _scan_decode_tokens(gview, z, steps)
+        return out, z
+
+    return jax.jit(step)
+
+
+class TransferServer:
+    """Micro-batching model server over a single params tree.
+
+    Thread-safe: `submit` from any thread returns a Future; one dispatcher
+    thread owns all device work. Use as a context manager or call
+    `close()`."""
+
+    def __init__(self, params, cfg: ModelConfig, *,
+                 steps: Optional[int] = None, max_batch: int = 64,
+                 max_wait_ms: float = 5.0,
+                 use_pallas: Optional[bool] = None):
+        self.cfg = cfg
+        self.steps = int(steps or cfg.transfer_decode_steps)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and max_batch > 64:
+            raise ValueError("max_batch > 64 exceeds the decode kernel's "
+                             "VMEM-carry cap; run multiple servers or use "
+                             "use_pallas=False")
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1e3
+        self.params = params
+        try:
+            self._shifts = {
+                k: np.asarray(v) for k, v in
+                compute_shift_vectors(params).items()}
+        except KeyError:           # no mixture tables: reconstruct-only
+            self._shifts = None
+        self._zeros_z = np.zeros((cfg.z_dims,), np.float32)
+
+        self._step = _build_step(cfg, self.steps, use_pallas)
+        self.serving_path = "kernel" if use_pallas else "scan"
+        try:
+            self._warmup()
+        except _FALLBACK_ERRORS:
+            # no Mosaic lowering here (CPU) or kernel launch failure:
+            # rebuild the whole step around the XLA scan — never silent
+            import warnings
+            warnings.warn("pallas decode unavailable; serving via the XLA "
+                          "scan", RuntimeWarning)
+            self._step = _build_step(cfg, self.steps, False)
+            self.serving_path = "scan"
+            self._warmup()
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "batch_rows": 0,
+                       "rejected": 0}
+        self._lat_ms: List[float] = []   # per-request, capped ring
+        self._closed = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True,
+                                        name="fader-serve-dispatch")
+        self._thread.start()
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, req: Dict[str, Any]) -> Future:
+        """Enqueue one request dict; resolves to a response dict (never
+        raises: malformed requests resolve to {"error": ...})."""
+        fut: Future = Future()
+        if self._closed:
+            fut.set_result({"id": req.get("id"), "error": "server closed"})
+            return fut
+        try:
+            row = self._validate(req)
+        except (KeyError, ValueError, TypeError) as e:
+            with self._lock:
+                self._stats["rejected"] += 1
+            fut.set_result({"id": req.get("id"), "error": str(e)})
+            return fut
+        self._q.put((row, fut, time.monotonic()))
+        return fut
+
+    def request(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        return self.submit(req).result()
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            s = dict(self._stats)
+            lat = sorted(self._lat_ms)
+        s["serving_path"] = self.serving_path
+        s["mean_batch_rows"] = (round(s["batch_rows"] / s["batches"], 2)
+                                if s["batches"] else None)
+        if lat:
+            s["latency_ms_p50"] = round(lat[len(lat) // 2], 2)
+            s["latency_ms_p95"] = round(lat[int(len(lat) * 0.95)], 2)
+        return s
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------ internals
+
+    def _validate(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        cfg = self.cfg
+        tokens = np.zeros((cfg.seq_len,), np.int32)
+        raw = np.asarray(req["tokens"], np.int32).ravel()[:cfg.seq_len]
+        if raw.size == 0:
+            raise ValueError("empty 'tokens'")
+        if raw.min() < 0 or raw.max() >= cfg.roll_dims:
+            raise ValueError(f"token ids must be in [0, {cfg.roll_dims})")
+        tokens[:raw.size] = raw
+        chroma = np.zeros((cfg.chroma_dims,), np.float32)
+        if req.get("chroma") is not None:
+            c = np.asarray(req["chroma"], np.float32).ravel()
+            if c.size != cfg.chroma_dims:
+                raise ValueError(f"chroma must have {cfg.chroma_dims} dims")
+            chroma = c
+        direction = req.get("direction", "none") or "none"
+        if direction not in _DIRECTIONS:
+            raise ValueError(f"direction must be one of {_DIRECTIONS}")
+        if direction != "none" and self._shifts is None:
+            raise ValueError("this checkpoint has no GM-VAE mixture tables; "
+                             "only direction='none' (reconstruction) is "
+                             "served")
+        steps = int(req.get("steps") or self.steps)
+        if not 0 < steps <= self.steps:
+            raise ValueError(f"steps must be in (0, {self.steps}] (the "
+                             f"server's compiled decode length)")
+        seed = req.get("seed")
+        return {"id": req.get("id"), "tokens": tokens, "chroma": chroma,
+                "direction": direction, "lam": float(req.get("lam", 1.0)),
+                "steps": steps,
+                "seed": None if seed is None else int(seed),
+                "return_z": bool(req.get("return_z", False))}
+
+    def _warmup(self) -> None:
+        B, cfg = self.max_batch, self.cfg
+        z = np.zeros((B, cfg.z_dims), np.float32)
+        out, _ = self._step(self.params,
+                            np.zeros((B, cfg.seq_len), np.int32),
+                            np.zeros((B, cfg.chroma_dims), np.float32),
+                            z, z, np.zeros((B,), np.float32), z, z)
+        jax.block_until_ready(out)
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                if self._closed:
+                    return
+                continue
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=rem)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._closed = True
+                    break
+                batch.append(item)
+            try:
+                self._run_batch(batch)
+            except Exception as e:           # resolve, never wedge callers
+                for _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_result({"error": f"batch failed: {e!r}"})
+            if self._closed and self._q.empty():
+                return
+
+    def _run_batch(self, batch) -> None:
+        B, cfg = self.max_batch, self.cfg
+        n = len(batch)
+        tokens = np.zeros((B, cfg.seq_len), np.int32)
+        chroma = np.zeros((B, cfg.chroma_dims), np.float32)
+        shift_r = np.zeros((B, cfg.z_dims), np.float32)
+        shift_n = np.zeros((B, cfg.z_dims), np.float32)
+        lam = np.zeros((B,), np.float32)
+        eps_r = np.zeros((B, cfg.z_dims), np.float32)
+        eps_n = np.zeros((B, cfg.z_dims), np.float32)
+        for i, (row, _, _) in enumerate(batch):
+            tokens[i] = row["tokens"]
+            chroma[i] = row["chroma"]
+            if row["direction"] != "none":
+                shift_r[i] = self._shifts[f"r_{row['direction']}"]
+                shift_n[i] = self._shifts[f"n_{row['direction']}"]
+                lam[i] = row["lam"]
+            if row["seed"] is not None:
+                rng = np.random.default_rng(row["seed"])
+                eps_r[i] = rng.standard_normal(cfg.z_dims)
+                eps_n[i] = rng.standard_normal(cfg.z_dims)
+
+        t0 = time.monotonic()
+        out, z = self._step(self.params, tokens, chroma, shift_r, shift_n,
+                            lam, eps_r, eps_n)
+        out = np.asarray(out)
+        z = np.asarray(z)
+        batch_ms = (time.monotonic() - t0) * 1e3
+
+        done_t = time.monotonic()
+        with self._lock:
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            self._stats["batch_rows"] += n
+            for _, _, t_in in batch:
+                self._lat_ms.append((done_t - t_in) * 1e3)
+            del self._lat_ms[:-4096]
+        for i, (row, fut, t_in) in enumerate(batch):
+            resp = {"id": row["id"],
+                    "tokens": out[i, :row["steps"]].tolist(),
+                    "batch_rows": n,
+                    "batch_ms": round(batch_ms, 2),
+                    "latency_ms": round((done_t - t_in) * 1e3, 2)}
+            if row["return_z"]:
+                resp["z"] = np.round(z[i], 6).tolist()
+            fut.set_result(resp)
