@@ -93,7 +93,7 @@ class TransferServer:
 
     def __init__(self, params, cfg: ModelConfig, *,
                  steps: Optional[int] = None, max_batch: int = 64,
-                 max_wait_ms: float = 5.0,
+                 max_wait_ms: float = 5.0, pipeline_depth: int = 2,
                  use_pallas: Optional[bool] = None):
         self.cfg = cfg
         self.steps = int(steps or cfg.transfer_decode_steps)
@@ -129,6 +129,15 @@ class TransferServer:
             self._warmup()
 
         self._q: "queue.Queue" = queue.Queue()
+        # double buffering: the dispatch thread assembles + launches batch
+        # N+1 while the fetch thread is still pulling batch N's tokens back
+        # over the (high-latency, tunneled) host link. JAX's async dispatch
+        # makes this safe — `_step` returns device futures immediately; the
+        # bounded depth caps how many batches of device output stay alive.
+        # depth=1 disables the overlap (fetch completes before the next
+        # launch) — useful for A/B measurement.
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(1, int(pipeline_depth)))
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "batch_rows": 0,
                        "rejected": 0}
@@ -137,7 +146,11 @@ class TransferServer:
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True,
                                         name="fader-serve-dispatch")
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True,
+                                         name="fader-serve-fetch")
         self._thread.start()
+        self._fetcher.start()
 
     # ------------------------------------------------------------------ API
 
@@ -177,6 +190,7 @@ class TransferServer:
         self._closed = True
         self._q.put(None)
         self._thread.join(timeout=30)
+        self._fetcher.join(timeout=30)
 
     def __enter__(self):
         return self
@@ -234,10 +248,10 @@ class TransferServer:
                 first = self._q.get(timeout=0.2)
             except queue.Empty:
                 if self._closed:
-                    return
+                    break
                 continue
             if first is None:
-                return
+                break
             batch = [first]
             deadline = time.monotonic() + self.max_wait
             while len(batch) < self.max_batch:
@@ -253,17 +267,19 @@ class TransferServer:
                     break
                 batch.append(item)
             try:
-                self._run_batch(batch)
+                self._launch_batch(batch)
             except Exception as e:           # resolve, never wedge callers
                 for _, fut, _ in batch:
                     if not fut.done():
                         fut.set_result({"error": f"batch failed: {e!r}"})
             if self._closed and self._q.empty():
-                return
+                break
+        self._inflight.put(None)             # drain the fetcher
 
-    def _run_batch(self, batch) -> None:
+    def _launch_batch(self, batch) -> None:
+        """Assemble + async-dispatch one padded batch; the fetch thread
+        pulls the results back and resolves the futures."""
         B, cfg = self.max_batch, self.cfg
-        n = len(batch)
         tokens = np.zeros((B, cfg.seq_len), np.int32)
         chroma = np.zeros((B, cfg.chroma_dims), np.float32)
         shift_r = np.zeros((B, cfg.z_dims), np.float32)
@@ -286,24 +302,39 @@ class TransferServer:
         t0 = time.monotonic()
         out, z = self._step(self.params, tokens, chroma, shift_r, shift_n,
                             lam, eps_r, eps_n)
-        out = np.asarray(out)
-        z = np.asarray(z)
-        batch_ms = (time.monotonic() - t0) * 1e3
+        # blocks when 2 batches are already in flight — backpressure
+        self._inflight.put((batch, out, z, t0))
 
-        done_t = time.monotonic()
-        with self._lock:
-            self._stats["requests"] += n
-            self._stats["batches"] += 1
-            self._stats["batch_rows"] += n
-            for _, _, t_in in batch:
-                self._lat_ms.append((done_t - t_in) * 1e3)
-            del self._lat_ms[:-4096]
-        for i, (row, fut, t_in) in enumerate(batch):
-            resp = {"id": row["id"],
-                    "tokens": out[i, :row["steps"]].tolist(),
-                    "batch_rows": n,
-                    "batch_ms": round(batch_ms, 2),
-                    "latency_ms": round((done_t - t_in) * 1e3, 2)}
-            if row["return_z"]:
-                resp["z"] = np.round(z[i], 6).tolist()
-            fut.set_result(resp)
+    def _fetch_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, out_dev, z_dev, t0 = item
+            try:
+                out = np.asarray(out_dev)
+                z = np.asarray(z_dev)
+            except Exception as e:
+                for _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_result({"error": f"batch failed: {e!r}"})
+                continue
+            batch_ms = (time.monotonic() - t0) * 1e3
+            n = len(batch)
+            done_t = time.monotonic()
+            with self._lock:
+                self._stats["requests"] += n
+                self._stats["batches"] += 1
+                self._stats["batch_rows"] += n
+                for _, _, t_in in batch:
+                    self._lat_ms.append((done_t - t_in) * 1e3)
+                del self._lat_ms[:-4096]
+            for i, (row, fut, t_in) in enumerate(batch):
+                resp = {"id": row["id"],
+                        "tokens": out[i, :row["steps"]].tolist(),
+                        "batch_rows": n,
+                        "batch_ms": round(batch_ms, 2),
+                        "latency_ms": round((done_t - t_in) * 1e3, 2)}
+                if row["return_z"]:
+                    resp["z"] = np.round(z[i], 6).tolist()
+                fut.set_result(resp)
