@@ -123,6 +123,49 @@ def test_submit_after_close(gmm_params):
     assert srv.request({"tokens": [1, 2]})["error"] == "server closed"
 
 
+def test_cli_tcp_protocol(tmp_path):
+    """TCP transport: ephemeral port, two concurrent connections, stats op."""
+    import socket
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps({
+        "hidden_dims": 48, "z_dims": 16, "seq_len": 24, "attr_len": 8,
+        "batch_size": 4, "num_clusters": 2}))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--kind", "gmm", "--random-init",
+         "--platform", "cpu", "--no-pallas", "--config", str(cfg_path),
+         "--steps", str(STEPS), "--max-batch", "4", "--max-wait-ms", "20",
+         "--tcp", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        line = proc.stdout.readline()       # "serving on 127.0.0.1:PORT"
+        assert "serving on" in line, line
+        port = int(line.strip().rsplit(":", 1)[1])
+        rng = np.random.default_rng(5)
+
+        def roundtrip(req):
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=120) as s:
+                f = s.makefile("rw")
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                return json.loads(f.readline())
+
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(2) as ex:
+            rs = list(ex.map(roundtrip,
+                             [_req(i, rng, return_z=False)
+                              for i in range(2)]))
+        for r in rs:
+            assert "error" not in r and len(r["tokens"]) == STEPS
+        assert roundtrip({"op": "stats"})["requests"] == 2
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_cli_stdin_protocol(tmp_path):
     """End-to-end protocol smoke: serve.py over stdin with tiny dims,
     random init, scan path. Covers request pipelining, the stats op and
