@@ -22,9 +22,11 @@ designed around how a TPU actually serves:
     the full autoregressive run, only int32 tokens leave the core. Off-TPU
     (or on kernel failure, detected at warmup) the server rebuilds its step
     around the XLA scan — same results, slower.
-  * **One compute thread.** JAX dispatch is serialized through a single
-    dispatcher thread; any number of front-end threads (stdin, TCP
-    connections) enqueue requests and block on futures.
+  * **Pipelined dispatch.** One dispatch thread owns all device launches;
+    a separate fetch thread pulls results back, so batch N+1 launches
+    while batch N's tokens are still crossing the host link (bounded by
+    `pipeline_depth` for backpressure). Any number of front-end threads
+    (stdin, TCP connections) enqueue requests and block on futures.
 
 Requests are plain dicts (the JSON-line protocol of `serve/cli.py`):
 
@@ -112,7 +114,6 @@ class TransferServer:
                 compute_shift_vectors(params).items()}
         except KeyError:           # no mixture tables: reconstruct-only
             self._shifts = None
-        self._zeros_z = np.zeros((cfg.z_dims,), np.float32)
 
         self._step = _build_step(cfg, self.steps, use_pallas)
         self.serving_path = "kernel" if use_pallas else "scan"
@@ -274,6 +275,16 @@ class TransferServer:
                         fut.set_result({"error": f"batch failed: {e!r}"})
             if self._closed and self._q.empty():
                 break
+        # a submit racing close() can land behind the shutdown sentinel:
+        # resolve stragglers rather than strand their futures
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_result({"id": item[0]["id"],
+                                    "error": "server closed"})
         self._inflight.put(None)             # drain the fetcher
 
     def _launch_batch(self, batch) -> None:
@@ -302,7 +313,7 @@ class TransferServer:
         t0 = time.monotonic()
         out, z = self._step(self.params, tokens, chroma, shift_r, shift_n,
                             lam, eps_r, eps_n)
-        # blocks when 2 batches are already in flight — backpressure
+        # blocks once pipeline_depth batches are in flight — backpressure
         self._inflight.put((batch, out, z, t0))
 
     def _fetch_loop(self) -> None:
@@ -314,7 +325,7 @@ class TransferServer:
             try:
                 out = np.asarray(out_dev)
                 z = np.asarray(z_dev)
-            except Exception as e:
+            except Exception as e:   # device-side failure surfaces here
                 for _, fut, _ in batch:
                     if not fut.done():
                         fut.set_result({"error": f"batch failed: {e!r}"})
@@ -330,11 +341,15 @@ class TransferServer:
                     self._lat_ms.append((done_t - t_in) * 1e3)
                 del self._lat_ms[:-4096]
             for i, (row, fut, t_in) in enumerate(batch):
-                resp = {"id": row["id"],
-                        "tokens": out[i, :row["steps"]].tolist(),
-                        "batch_rows": n,
-                        "batch_ms": round(batch_ms, 2),
-                        "latency_ms": round((done_t - t_in) * 1e3, 2)}
-                if row["return_z"]:
-                    resp["z"] = np.round(z[i], 6).tolist()
-                fut.set_result(resp)
+                try:
+                    resp = {"id": row["id"],
+                            "tokens": out[i, :row["steps"]].tolist(),
+                            "batch_rows": n,
+                            "batch_ms": round(batch_ms, 2),
+                            "latency_ms": round((done_t - t_in) * 1e3, 2)}
+                    if row["return_z"]:
+                        resp["z"] = np.round(z[i], 6).tolist()
+                    fut.set_result(resp)
+                except Exception as e:   # never let one row kill the thread
+                    if not fut.done():
+                        fut.set_result({"error": f"marshal failed: {e!r}"})
