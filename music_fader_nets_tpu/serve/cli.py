@@ -78,10 +78,12 @@ def _stdin_loop(server: TransferServer) -> None:
             flush(block=True)      # keep output in request order
             print(json.dumps({"error": f"bad json: {e}"}), flush=True)
             continue
-        if req.get("op") == "stats":
+        if isinstance(req, dict) and req.get("op") == "stats":
             flush(block=True)
             print(json.dumps(server.stats()), flush=True)
             continue
+        # non-dict JSON (a bare number/array/string) goes through submit,
+        # which resolves it to an error response instead of crashing
         pending.append(server.submit(req))
         flush(block=False)
     flush(block=True)
@@ -98,7 +100,9 @@ def _tcp_loop(server: TransferServer, port: int) -> None:
                 except (json.JSONDecodeError, UnicodeDecodeError) as e:
                     resp = {"error": f"bad json: {e}"}
                 else:
-                    resp = (server.stats() if req.get("op") == "stats"
+                    resp = (server.stats()
+                            if isinstance(req, dict)
+                            and req.get("op") == "stats"
                             else server.submit(req).result())
                 self.wfile.write((json.dumps(resp) + "\n").encode())
                 self.wfile.flush()
@@ -142,7 +146,7 @@ def run_server(argv=None) -> None:
           f"max_batch={server.max_batch} path={server.serving_path}",
           file=sys.stderr)
     try:
-        if args.bench:
+        if args.bench is not None:
             _bench(server, args.bench, cfg)
         elif args.tcp is not None:
             _tcp_loop(server, args.tcp)

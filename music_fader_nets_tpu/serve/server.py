@@ -133,12 +133,13 @@ class TransferServer:
         # double buffering: the dispatch thread assembles + launches batch
         # N+1 while the fetch thread is still pulling batch N's tokens back
         # over the (high-latency, tunneled) host link. JAX's async dispatch
-        # makes this safe — `_step` returns device futures immediately; the
-        # bounded depth caps how many batches of device output stay alive.
-        # depth=1 disables the overlap (fetch completes before the next
-        # launch) — useful for A/B measurement.
-        self._inflight: "queue.Queue" = queue.Queue(
-            maxsize=max(1, int(pipeline_depth)))
+        # makes this safe — `_step` returns device futures immediately. A
+        # semaphore (not a bounded queue, whose slot would free at fetch
+        # START) holds each launch slot until its fetch COMPLETES, so
+        # depth=1 truly serializes launch-after-fetch and depth=N keeps at
+        # most N batches of device output alive.
+        self._inflight: "queue.Queue" = queue.Queue()
+        self._slots = threading.Semaphore(max(1, int(pipeline_depth)))
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "batch_rows": 0,
                        "rejected": 0}
@@ -155,21 +156,32 @@ class TransferServer:
 
     # ------------------------------------------------------------------ API
 
-    def submit(self, req: Dict[str, Any]) -> Future:
+    def submit(self, req: Any) -> Future:
         """Enqueue one request dict; resolves to a response dict (never
         raises: malformed requests resolve to {"error": ...})."""
         fut: Future = Future()
-        if self._closed:
-            fut.set_result({"id": req.get("id"), "error": "server closed"})
+        if not isinstance(req, dict):
+            with self._lock:
+                self._stats["rejected"] += 1
+            fut.set_result({"error": "request must be a JSON object"})
             return fut
         try:
             row = self._validate(req)
-        except (KeyError, ValueError, TypeError) as e:
+        except (KeyError, ValueError, TypeError, OverflowError) as e:
+            # OverflowError: out-of-int32 token ids under numpy >= 2
             with self._lock:
                 self._stats["rejected"] += 1
             fut.set_result({"id": req.get("id"), "error": str(e)})
             return fut
-        self._q.put((row, fut, time.monotonic()))
+        # the lock orders this put against close(): either the flag is
+        # seen (error out) or the item lands ahead of the shutdown
+        # sentinel and is served/drained — a future can never strand
+        with self._lock:
+            if self._closed:
+                fut.set_result({"id": req.get("id"),
+                                "error": "server closed"})
+                return fut
+            self._q.put((row, fut, time.monotonic()))
         return fut
 
     def request(self, req: Dict[str, Any]) -> Dict[str, Any]:
@@ -188,8 +200,9 @@ class TransferServer:
         return s
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            self._closed = True
+            self._q.put(None)
         self._thread.join(timeout=30)
         self._fetcher.join(timeout=30)
 
@@ -204,9 +217,14 @@ class TransferServer:
     def _validate(self, req: Dict[str, Any]) -> Dict[str, Any]:
         cfg = self.cfg
         tokens = np.zeros((cfg.seq_len,), np.int32)
-        raw = np.asarray(req["tokens"], np.int32).ravel()[:cfg.seq_len]
+        raw = np.asarray(req["tokens"], np.int32).ravel()
         if raw.size == 0:
             raise ValueError("empty 'tokens'")
+        if raw.size > cfg.seq_len:
+            # reject loudly rather than silently encode a different segment
+            raise ValueError(f"'tokens' longer than the server's seq_len "
+                             f"({raw.size} > {cfg.seq_len}); re-slice or "
+                             f"run a server with a longer --config seq_len")
         if raw.min() < 0 or raw.max() >= cfg.roll_dims:
             raise ValueError(f"token ids must be in [0, {cfg.roll_dims})")
         tokens[:raw.size] = raw
@@ -223,7 +241,8 @@ class TransferServer:
             raise ValueError("this checkpoint has no GM-VAE mixture tables; "
                              "only direction='none' (reconstruction) is "
                              "served")
-        steps = int(req.get("steps") or self.steps)
+        steps = req.get("steps")
+        steps = self.steps if steps is None else int(steps)
         if not 0 < steps <= self.steps:
             raise ValueError(f"steps must be in (0, {self.steps}] (the "
                              f"server's compiled decode length)")
@@ -241,7 +260,10 @@ class TransferServer:
                             np.zeros((B, cfg.seq_len), np.int32),
                             np.zeros((B, cfg.chroma_dims), np.float32),
                             z, z, np.zeros((B,), np.float32), z, z)
-        jax.block_until_ready(out)
+        # materialize, don't block_until_ready: on the tunneled TPU
+        # block_until_ready can return early (CLAUDE.md), and a kernel
+        # launch failure must surface HERE for the scan fallback to engage
+        np.asarray(out)
 
     def _dispatch_loop(self) -> None:
         while True:
@@ -310,10 +332,16 @@ class TransferServer:
                 eps_r[i] = rng.standard_normal(cfg.z_dims)
                 eps_n[i] = rng.standard_normal(cfg.z_dims)
 
+        # blocks until a fetch completes once pipeline_depth batches are
+        # in flight — backpressure; released by _fetch_loop
+        self._slots.acquire()
         t0 = time.monotonic()
-        out, z = self._step(self.params, tokens, chroma, shift_r, shift_n,
-                            lam, eps_r, eps_n)
-        # blocks once pipeline_depth batches are in flight — backpressure
+        try:
+            out, z = self._step(self.params, tokens, chroma, shift_r,
+                                shift_n, lam, eps_r, eps_n)
+        except Exception:
+            self._slots.release()    # never leak a launch slot
+            raise
         self._inflight.put((batch, out, z, t0))
 
     def _fetch_loop(self) -> None:
@@ -324,12 +352,18 @@ class TransferServer:
             batch, out_dev, z_dev, t0 = item
             try:
                 out = np.asarray(out_dev)
-                z = np.asarray(z_dev)
+                # z only crosses the (high-latency) host link when some
+                # row actually asked for it
+                z = (np.asarray(z_dev)
+                     if any(row["return_z"] for row, _, _ in batch)
+                     else None)
             except Exception as e:   # device-side failure surfaces here
                 for _, fut, _ in batch:
                     if not fut.done():
                         fut.set_result({"error": f"batch failed: {e!r}"})
                 continue
+            finally:
+                self._slots.release()
             batch_ms = (time.monotonic() - t0) * 1e3
             n = len(batch)
             done_t = time.monotonic()

@@ -96,13 +96,20 @@ def test_steps_truncation_and_validation(gmm_server):
     rng = np.random.default_rng(2)
     resp = gmm_server.request(_req(0, rng, steps=5))
     assert len(resp["tokens"]) == 5
-    for bad in ({"tokens": []},
+    before = gmm_server.stats()["rejected"]
+    bad_reqs = ({"tokens": []},
                 {"tokens": [1, 2], "direction": "sideways"},
                 {"tokens": [1, 2], "steps": STEPS + 1},
+                {"tokens": [1, 2], "steps": 0},
                 {"tokens": [999999]},
-                {"tokens": [1, 2], "chroma": [0.0] * 3}):
+                {"tokens": [2 ** 40]},          # OverflowError path (np>=2)
+                {"tokens": [1] * (CFG.seq_len + 1)},   # over-long: loud
+                {"tokens": [1, 2], "chroma": [0.0] * 3},
+                [1, 2, 3],                      # non-dict request
+                "nonsense")
+    for bad in bad_reqs:
         assert "error" in gmm_server.request(bad)
-    assert gmm_server.stats()["rejected"] == 5
+    assert gmm_server.stats()["rejected"] == before + len(bad_reqs)
 
 
 def test_vanilla_checkpoint_is_reconstruct_only():
@@ -176,6 +183,8 @@ def test_cli_stdin_protocol(tmp_path):
         "batch_size": 4, "num_clusters": 2}))
     rng = np.random.default_rng(4)
     lines = [json.dumps(_req(i, rng, return_z=False)) for i in range(3)]
+    lines.append("42")            # valid JSON, not an object: error, no crash
+    lines.append("{not json")     # invalid JSON: error, no crash
     lines.append(json.dumps({"op": "stats"}))
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(
@@ -187,9 +196,11 @@ def test_cli_stdin_protocol(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     resps = [json.loads(l) for l in out.stdout.strip().splitlines()]
-    assert len(resps) == 4
+    assert len(resps) == 6
     for i, r in enumerate(resps[:3]):
         assert r["id"] == i, resps           # responses in request order
         assert "error" not in r
         assert len(r["tokens"]) == STEPS
-    assert resps[3]["requests"] == 3         # the stats op
+    assert "error" in resps[3]               # non-object JSON
+    assert "error" in resps[4]               # unparsable line
+    assert resps[5]["requests"] == 3         # the stats op
