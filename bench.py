@@ -42,6 +42,8 @@ def measure_jax(batch_size: int, seq_len: int, attr_len: int, iters: int,
 
     # use_pallas_gru: fused whole-sequence GRU kernel with custom VJP —
     # the fastest single-chip training config
+    from music_fader_nets_tpu.ops import pallas_gru
+    pallas_gru.LAST_TRAIN_PATH = None      # worst-path-wins latch: reset
     cfg = ModelConfig(num_clusters=2, batch_size=batch_size, seq_len=seq_len,
                       attr_len=attr_len, dtype=dtype, use_pallas_gru=True)
     yam = YamahaDataset(*synth_corpus(max(4 * batch_size, 512), seq_len,
@@ -160,11 +162,18 @@ def measure_torch_baseline(batch_size: int, seq_len: int, attr_len: int,
     return cache[key]
 
 
-def _emit_stale(reason: str) -> None:
+def _emit_stale(reason: str, families: bool = False) -> None:
     """Print the last successful bench result flagged stale (or an explicit
     error line if none exists) — ONE parseable JSON line either way, so a
     wedged TPU tunnel at round end still leaves an honest record."""
     import time
+    if families:
+        # LAST_GOOD holds the HEADLINE-shaped record; emitting it for a
+        # failed --families run would hand consumers an unrelated metric
+        print(json.dumps({"metric": "family_train_step_ms_median",
+                          "value": None, "unit": "ms", "families": None,
+                          "error": reason}))
+        return
     if os.path.exists(LAST_GOOD):
         with open(LAST_GOOD) as f:
             result = json.load(f)
@@ -182,7 +191,7 @@ def _emit_stale(reason: str) -> None:
     print(json.dumps(result))
 
 
-def run_guarded(argv, max_wait: float) -> int:
+def run_guarded(argv, max_wait: float, families: bool = False) -> int:
     """Run the real measurement as a child process with a wall-clock bound.
 
     The axon TPU tunnel has twice wedged so hard that backend init hangs for
@@ -203,7 +212,8 @@ def run_guarded(argv, max_wait: float) -> int:
         rc = child.wait(timeout=max_wait)
     except subprocess.TimeoutExpired:
         _emit_stale(f"bench timed out after {max_wait:.0f}s "
-                    "(TPU tunnel wedged?); child abandoned, not killed")
+                    "(TPU tunnel wedged?); child abandoned, not killed",
+                    families)
         return 0
     if rc == 0:
         with open(out_path) as f:
@@ -211,7 +221,7 @@ def run_guarded(argv, max_wait: float) -> int:
         if line is not None:
             print(line)
             return 0
-    _emit_stale(f"bench child exited rc={rc} with no JSON line")
+    _emit_stale(f"bench child exited rc={rc} with no JSON line", families)
     return 0
 
 
@@ -244,9 +254,10 @@ def main():
                     help="measure only the short (T=100) variant")
     ap.add_argument("--no-guard", action="store_true",
                     help="measure in-process (no wedge watchdog)")
-    ap.add_argument("--max-wait", type=float, default=2700.0,
-                    help="guard wall-clock bound, seconds (covers cold "
-                         "Mosaic compiles of both corpus variants)")
+    ap.add_argument("--max-wait", type=float, default=None,
+                    help="guard wall-clock bound, seconds; default 2700 "
+                         "(5400 with --families) covers cold Mosaic "
+                         "compiles of every measured program")
     ap.add_argument("--families", action="store_true",
                     help="measure the compiled step time of ALL SIX model "
                          "families instead of the headline GM-VAE number")
@@ -254,9 +265,9 @@ def main():
     if not args.no_guard:
         argv = [a for a in sys.argv[1:] if a != "--no-guard"]
         wait = args.max_wait
-        if args.families and wait == 2700.0:
-            wait = 5400.0        # six families may all cold-compile
-        sys.exit(run_guarded(argv, wait))
+        if wait is None:         # six families may all cold-compile
+            wait = 5400.0 if args.families else 2700.0
+        sys.exit(run_guarded(argv, wait, args.families))
 
     if args.families:
         fams = measure_families(args.batch_size, args.seq_len,
@@ -287,14 +298,19 @@ def main():
     _cfg = _MC(batch_size=args.batch_size, seq_len=args.seq_len,
                attr_len=args.attr_len)
     med_t = statistics.median(windows)
+    # `value` derives from the MEDIAN timing window (round 5; previously
+    # the best window) so the headline, tflops/mfu, and --families rows
+    # all imply the same step time; the best window stays visible as
+    # step_ms_best. Median vs best differ <0.5% on a healthy tunnel.
+    med_sps = args.batch_size / med_t
     result = {
         "metric": "gmvae_train_seqs_per_sec_per_chip",
-        "value": round(seqs_per_sec, 1),
+        "value": round(med_sps, 1),
         "unit": "seq/s",
         "tflops": round(step_tflops(_cfg, med_t, "gmm"), 1),
         "mfu": (round(step_mfu(_cfg, med_t, "gmm"), 3)
                 if args.dtype == "bfloat16" else None),
-        "vs_baseline": round(seqs_per_sec / baseline, 2) if baseline else None,
+        "vs_baseline": round(med_sps / baseline, 2) if baseline else None,
         "dtype": args.dtype,
         # best/median/worst of the 3 timing windows: makes perf-delta claims
         # falsifiable against the measured noise floor
@@ -331,10 +347,11 @@ def main():
             args.batch_size, 250, 64, args.iters, args.dtype, decode=False)
         l_base = None if args.skip_baseline else measure_torch_baseline(
             args.batch_size, 250, 64, args.refresh_baseline)
-        result["long_seqs_per_sec"] = round(l_sps, 1)
-        result["long_step_ms_median"] = round(
-            statistics.median(l_windows) * 1e3, 3)
-        result["long_vs_baseline"] = (round(l_sps / l_base, 2)
+        l_med = statistics.median(l_windows)
+        l_med_sps = args.batch_size / l_med
+        result["long_seqs_per_sec"] = round(l_med_sps, 1)
+        result["long_step_ms_median"] = round(l_med * 1e3, 3)
+        result["long_vs_baseline"] = (round(l_med_sps / l_base, 2)
                                       if l_base else None)
         long_note = (f"; long T=250 step={l_step_t * 1e3:.2f}ms "
                      f"({l_sps:.1f} seq/s, torch-cpu {l_base and round(l_base, 1)})")

@@ -244,12 +244,13 @@ class ControllabilityEvaluator:
 
     # -- device decode --------------------------------------------------------
 
-    # Pad granularity. The kernel path auto-chunks >64-row batches inside
-    # the op itself (ops/pallas_decode.py::_CHUNK, the measured winner per
-    # benchmarks/decode_crossover.py); padding waves to a multiple of it
-    # here just keeps the SCAN fallback's compile set bounded (wave sizes
-    # vary per retry round).
-    _CHUNK = 64
+    # Pad granularity — the op's own chunk size (the measured winner per
+    # benchmarks/decode_crossover.py). The kernel path auto-chunks large
+    # batches inside the op; padding waves to a multiple of its chunk here
+    # just keeps the SCAN fallback's compile set bounded (wave sizes vary
+    # per retry round). Imported, not duplicated, so a retune of the op's
+    # chunk can't silently diverge from the eval pad granularity.
+    from music_fader_nets_tpu.ops.pallas_decode import _CHUNK
 
     def _decode_all(self, z_full) -> np.ndarray:
         """(M, z_total) -> (M, steps) int tokens, in one decode call

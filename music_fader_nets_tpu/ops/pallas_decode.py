@@ -237,6 +237,15 @@ def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     another jax.jit (nesting would defeat the cache and recompile per
     wrapper)."""
     global LAST_DECODE_PATH, _warned_fallback
+    if (use_pallas and not interpret and isinstance(z, jax.core.Tracer)
+            and jax.default_backend() != "tpu"):
+        # under an OUTER trace on a backend with no Mosaic lowering, the
+        # kernel's failure surfaces at the outer jit's compile — outside
+        # the try/except below — so route to the scan up front. Quiet by
+        # design: CPU is the documented dev configuration (mirrors
+        # pallas_gru.kernel_dispatch's scan-cpu path).
+        LAST_DECODE_PATH = "scan-cpu"
+        return _scan_decode_tokens(gview, z, steps)
     if use_pallas:
         try:
             if z.shape[0] <= _CHUNK:

@@ -43,17 +43,29 @@ F32 = jnp.float32
 INTERPRET = False
 
 
-# which path the LAST kernel_dispatch decision routed TRAINING recurrences
-# to: "kernel-single", "kernel-dp", or a scan reason ("scan-cpu",
-# "scan-tp-mesh", "scan-indivisible-batch"). kernel_dispatch is only
-# consulted when kernels were REQUESTED (cfg.use_pallas_gru / use_pallas=
-# True call sites), so a "scan-*" value here always means a requested
-# kernel silently degraded to the GSPMD scan — bench.py surfaces it as
-# `train_path` in its JSON line, mirroring pallas_decode.LAST_DECODE_PATH
-# (round-4 VERDICT "what's weak" #4).
+# which path kernel_dispatch routed TRAINING recurrences to since the last
+# reset (assign None to reset): "kernel-single", "kernel-dp", or a scan
+# reason ("scan-cpu", "scan-tp-mesh", "scan-indivisible-batch").
+# kernel_dispatch is only consulted when kernels were REQUESTED
+# (cfg.use_pallas_gru / use_pallas=True call sites), so a "scan-*" value
+# here always means a requested kernel silently degraded to the GSPMD scan
+# — bench.py surfaces it as `train_path` in its JSON line, mirroring
+# pallas_decode.LAST_DECODE_PATH (round-4 VERDICT "what's weak" #4).
+# Worst-path-wins: one trace can consult several times with different
+# batch sizes (e.g. GLSR's 4B-row regularizer decode divides a dp mesh
+# that its B-row encoder consult does not), and a later kernel hit must
+# not mask an earlier scan fallback.
 LAST_TRAIN_PATH = None
 
 _warned_train_fallback = False
+
+
+def _record_train_path(path: str) -> None:
+    global LAST_TRAIN_PATH
+    if (LAST_TRAIN_PATH is not None and LAST_TRAIN_PATH.startswith("scan")
+            and path.startswith("kernel")):
+        return
+    LAST_TRAIN_PATH = path
 
 
 def kernel_dispatch(B: int):
@@ -68,28 +80,29 @@ def kernel_dispatch(B: int):
     indivisible batch — the user asked for kernels on hardware that has
     them) additionally warns once per process. CPU fallbacks stay quiet:
     that is the documented test/dev configuration, not a degradation."""
-    global LAST_TRAIN_PATH, _warned_train_fallback
+    global _warned_train_fallback
     if jax.default_backend() != "tpu" and not INTERPRET:
-        LAST_TRAIN_PATH = "scan-cpu"
+        _record_train_path("scan-cpu")
         return None, None
     from music_fader_nets_tpu.parallel import mesh as mesh_lib
     mesh = mesh_lib.current_trace_mesh()
     if mesh is None or mesh.size == 1:
-        LAST_TRAIN_PATH = "kernel-single"
+        _record_train_path("kernel-single")
         return "single", None
     n_data = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.size)
     if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1 and B % n_data == 0:
-        LAST_TRAIN_PATH = "kernel-dp"
+        _record_train_path("kernel-dp")
         return "dp", mesh
     if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) != 1:
-        LAST_TRAIN_PATH = "scan-tp-mesh"
+        reason = "scan-tp-mesh"
     else:
-        LAST_TRAIN_PATH = "scan-indivisible-batch"
+        reason = "scan-indivisible-batch"
+    _record_train_path(reason)
     if not _warned_train_fallback:
         import warnings
         warnings.warn(
             f"pallas GRU training kernels requested but inapplicable here "
-            f"({LAST_TRAIN_PATH}: mesh "
+            f"({reason}: mesh "
             f"{dict(mesh.shape)}, per-process batch {B}); training runs "
             f"the GSPMD-partitioned XLA scan instead",
             RuntimeWarning, stacklevel=3)

@@ -355,14 +355,22 @@ def run_sweep(args) -> bool:
             print("MISSING")
             rows.append((kind, fname, None, None, None))
             continue
-        sd = torch.load(path, map_location="cpu")
-        sd = {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
-        rt = check_roundtrip(sd)
-        fw = check_forward(sd, kind)
-        ev = None
-        if not args.skip_eval:
-            args.from_pt = path        # run_table1_eval reads it from args
-            ev = run_table1_eval(kind, args)
+        # per-checkpoint containment: one unreadable/unconvertible .pt
+        # (unknown key, truncated file, ...) marks its row FAIL and the
+        # sweep still validates the rest — the whole point of the
+        # one-command unattended run over all six released checkpoints
+        try:
+            sd = torch.load(path, map_location="cpu")
+            sd = {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
+            rt = check_roundtrip(sd)
+            fw = check_forward(sd, kind)
+            ev = None
+            if not args.skip_eval:
+                args.from_pt = path    # run_table1_eval reads it from args
+                ev = run_table1_eval(kind, args)
+        except Exception as e:
+            print(f"ERROR validating {fname}: {type(e).__name__}: {e}")
+            rt, fw, ev = False, False, None
         rows.append((kind, fname, rt, fw, ev))
 
     def cell(v):

@@ -48,6 +48,21 @@ def test_emit_stale_age_from_embedded_timestamp(tmp_path, monkeypatch, capsys):
     assert "measured_at_unix" not in out
 
 
+def test_emit_stale_families_shape(tmp_path, monkeypatch, capsys):
+    """A failed --families run must emit a families-SHAPED error record,
+    not the headline-shaped LAST_GOOD payload (whose metric a families
+    consumer would misparse)."""
+    lg = tmp_path / "last_good.json"
+    lg.write_text(json.dumps({"metric": "gmvae_train_seqs_per_sec_per_chip",
+                              "value": 24362.5}))
+    monkeypatch.setattr(bench, "LAST_GOOD", str(lg))
+    bench._emit_stale("timed out", families=True)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["metric"] == "family_train_step_ms_median"
+    assert out["value"] is None and out["families"] is None
+    assert out["error"] == "timed out"
+
+
 def test_last_json_line_picks_final_parseable():
     text = "\n".join([
         "# warmup chatter",

@@ -154,13 +154,25 @@ def test_parity_sweep_over_six_standins(tmp_path):
                     if ln.startswith(kind))
         assert line.count("PASS") == 2 and "FAIL" not in line, line
 
-    # a missing checkpoint must flip the exit code, not be skipped quietly
+    # a missing checkpoint must flip the exit code, not be skipped quietly;
+    # an UNREADABLE one must mark its row FAIL and the sweep must still
+    # validate the rest (per-checkpoint containment), not abort mid-table
     os.remove(tmp_path / "music_attr_fader.pt")
+    (tmp_path / "music_attr_vae_reg_glsr.pt").write_bytes(b"not a torch file")
     out = _run(["parity.py", "--params-dir", str(tmp_path),
                 "--skip-eval", "--platform", "cpu"], timeout=1500)
     assert out.returncode == 1
     assert "MISSING" in out.stdout
+    assert "ERROR validating music_attr_vae_reg_glsr.pt" in out.stdout
     assert "FAILURES PRESENT" in out.stdout
+    glsr_line = next(ln for ln in out.stdout.splitlines()
+                     if ln.startswith("glsr"))
+    assert "FAIL" in glsr_line
+    # checkpoints after the corrupt one were still validated
+    for kind in ("cvae", "singlevae"):
+        line = next(ln for ln in out.stdout.splitlines()
+                    if ln.startswith(kind))
+        assert line.count("PASS") == 2, line
 
 
 def test_dryrun_multichip_bootstraps_from_one_device():

@@ -84,3 +84,19 @@ def test_large_batch_chunking_under_outer_jit():
     got = np.asarray(f(gv, z))
     np.testing.assert_array_equal(ref, got)
     assert pallas_decode.LAST_DECODE_PATH == "kernel-chunked"
+
+
+def test_outer_jit_on_cpu_routes_to_scan():
+    """Under an OUTER jit on a non-TPU backend (no interpret), the kernel's
+    compile failure would surface at the outer jit's compile — outside the
+    op's try/except — so the op must route to the scan up front instead of
+    hard-crashing. Both the small-batch and the chunked branch."""
+    from music_fader_nets_tpu.ops import pallas_decode
+    gv = _sharp_gview()
+    for rows in (2, 70):                       # <= _CHUNK and > _CHUNK
+        z = jax.random.normal(jax.random.PRNGKey(6), (rows, 280))
+        ref = np.argmax(np.asarray(global_decoder_greedy(gv, z, 6)), -1)
+        f = jax.jit(lambda p, zz: greedy_decode_tokens(p, zz, 6))
+        got = np.asarray(f(gv, z))
+        np.testing.assert_array_equal(ref, got)
+        assert pallas_decode.LAST_DECODE_PATH == "scan-cpu"

@@ -820,6 +820,7 @@ def test_train_kernel_fallback_telemetry_and_warning(monkeypatch):
 
     monkeypatch.setattr(pallas_gru, "INTERPRET", True)
     monkeypatch.setattr(pallas_gru, "_warned_train_fallback", False)
+    pallas_gru.LAST_TRAIN_PATH = None      # reset (worst-path-wins latch)
 
     # bare backend (no trace mesh): kernel applies
     kind, _ = pallas_gru.kernel_dispatch(8)
@@ -863,6 +864,23 @@ def test_train_kernel_fallback_telemetry_and_warning(monkeypatch):
         warnings.simplefilter("error")
         assert pallas_gru.kernel_dispatch(8)[0] is None
     assert pallas_gru.LAST_TRAIN_PATH == "scan-cpu"
+
+    # worst-path-wins: a later kernel-applicable consult (e.g. GLSR's
+    # 4B-row masses decode, whose batch divides a dp mesh that the B-row
+    # encoder consult did not) must NOT mask an earlier scan fallback
+    monkeypatch.setattr(pallas_gru, "INTERPRET", True)
+    monkeypatch.setattr(pallas_gru, "_warned_train_fallback", False)
+    pallas_gru.LAST_TRAIN_PATH = None
+    with mesh_lib.trace_mesh_scope(mesh_dp):
+        with pytest.warns(RuntimeWarning, match="indivisible"):
+            assert pallas_gru.kernel_dispatch(12)[0] is None    # B=12
+        assert pallas_gru.kernel_dispatch(48)[0] == "dp"        # 4B=48
+    assert pallas_gru.LAST_TRAIN_PATH == "scan-indivisible-batch"
+    # ...until an explicit reset
+    pallas_gru.LAST_TRAIN_PATH = None
+    with mesh_lib.trace_mesh_scope(mesh_dp):
+        assert pallas_gru.kernel_dispatch(48)[0] == "dp"
+    assert pallas_gru.LAST_TRAIN_PATH == "kernel-dp"
 
 
 def test_cvae_encoder_takes_kernel_path(monkeypatch):
