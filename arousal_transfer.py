@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--index", type=int, default=0,
                     help="VGMIDI test-set segment index")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature for the decode; 0 (default) "
+                         "= the reference-faithful greedy argmax, >0 = "
+                         "Gumbel-max sampling from softmax(logits/T) "
+                         "(seeded by --seed, reproducible)")
     ap.add_argument("--out", default="transfer.mid")
     ap.add_argument("--wav", default=None, metavar="PATH",
                     help="also render an audio preview WAV (replaces the "
@@ -39,10 +44,14 @@ def main(argv=None):
     params = _load_params("gmm", cfg, args)
     vgm = load_vgmidi(args)["test"]
     item = vgm[args.index % len(vgm)]
+    import jax
     tokens, notes = arousal_transfer(params, cfg, item, args.direction,
-                                     lam=args.lam, steps=args.steps)
+                                     lam=args.lam, steps=args.steps,
+                                     rng=jax.random.PRNGKey(args.seed),
+                                     temperature=args.temperature)
     n_events = int(np.count_nonzero(np.asarray(tokens) > 1))
     print(f"direction={args.direction} lam={args.lam} steps={args.steps} "
+          f"temperature={args.temperature} "
           f"-> {len(notes)} notes from {n_events} non-pad tokens")
     transfer_to_midi(notes, args.out)
     print(f"Wrote {args.out}")

@@ -8,6 +8,7 @@ from music_fader_nets_tpu.models.vae import (  # noqa: F401
 from music_fader_nets_tpu.models.gmvae import (  # noqa: F401
     init_reg_gmvae, reg_gmvae_forward, reg_gmvae_encode, reg_gmvae_global_decode,
     reg_gmvae_decode_tokens,
+    reg_gmvae_sample_tokens,
     init_single_gmvae, single_gmvae_forward,
     approx_qy_x,
 )

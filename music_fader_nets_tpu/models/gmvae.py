@@ -99,6 +99,16 @@ def reg_gmvae_decode_tokens(params, z, steps: int, use_pallas: bool = True):
     return greedy_decode_tokens(_global_view(params), z, steps, use_pallas)
 
 
+def reg_gmvae_sample_tokens(params, z, steps: int, key,
+                            temperature: float = 1.0,
+                            use_pallas: bool = True):
+    """Gumbel-max sampling decode (TPU-native addition; the reference only
+    decodes greedily — model_v2.py:72-79). temperature <= 0 is greedy."""
+    from music_fader_nets_tpu.ops.pallas_decode import sample_decode_tokens
+    return sample_decode_tokens(_global_view(params), z, steps, key,
+                                temperature, use_pallas)
+
+
 def reg_gmvae_forward(params, rng, x_oh, r_oh, n_oh, chroma,
                       cfg: ModelConfig, train: bool = True,
                       tokens=None, nll_targets=None, track_ids=None) -> Dict:

@@ -56,6 +56,30 @@ def _gru_gates(pre_x, pre_h, h):
     return (1.0 - z) * n + z * h
 
 
+def _step_logits(i, h1, h2, tok, col, pre_z, w_tok, w_hh1, b_hh1_ref,
+                 w_ih2, b_ih2_ref, w_hh2, b_hh2_ref, w_out, b_out_ref):
+    """One decoder step (shared by the greedy and sampling kernels):
+    token one-hot + both GRU layers + output head, returning the new
+    hidden states and the raw logits."""
+    onehot = (col == tok[:, None]).astype(w_tok.dtype)
+    pre1 = jnp.dot(onehot, w_tok,
+                   preferred_element_type=jnp.float32) + pre_z
+    pre_h1 = jnp.dot(h1, w_hh1,
+                     preferred_element_type=jnp.float32) + b_hh1_ref[:]
+    h1_new = _gru_gates(pre1, pre_h1, h1)
+
+    h2_prev = jnp.where(i == 0, h1_new, h2)
+    pre2 = jnp.dot(h1_new, w_ih2,
+                   preferred_element_type=jnp.float32) + b_ih2_ref[:]
+    pre_h2 = jnp.dot(h2_prev, w_hh2,
+                     preferred_element_type=jnp.float32) + b_hh2_ref[:]
+    h2_new = _gru_gates(pre2, pre_h2, h2_prev)
+
+    logits = jnp.dot(h2_new, w_out,
+                     preferred_element_type=jnp.float32) + b_out_ref[:]
+    return h1_new, h2_new, logits
+
+
 def _decode_kernel(steps: int, V: int, Vp: int,
                    w_tok_ref, w_hh1_ref, b_hh1_ref,
                    w_ih2_ref, b_ih2_ref, w_hh2_ref, b_hh2_ref,
@@ -77,22 +101,9 @@ def _decode_kernel(steps: int, V: int, Vp: int,
 
     def body(i, carry):
         h1, h2, tok = carry
-        onehot = (col == tok[:, None]).astype(w_tok.dtype)
-        pre1 = jnp.dot(onehot, w_tok,
-                       preferred_element_type=jnp.float32) + pre_z
-        pre_h1 = jnp.dot(h1, w_hh1,
-                         preferred_element_type=jnp.float32) + b_hh1_ref[:]
-        h1_new = _gru_gates(pre1, pre_h1, h1)
-
-        h2_prev = jnp.where(i == 0, h1_new, h2)
-        pre2 = jnp.dot(h1_new, w_ih2,
-                       preferred_element_type=jnp.float32) + b_ih2_ref[:]
-        pre_h2 = jnp.dot(h2_prev, w_hh2,
-                         preferred_element_type=jnp.float32) + b_hh2_ref[:]
-        h2_new = _gru_gates(pre2, pre_h2, h2_prev)
-
-        logits = jnp.dot(h2_new, w_out,
-                         preferred_element_type=jnp.float32) + b_out_ref[:]
+        h1_new, h2_new, logits = _step_logits(
+            i, h1, h2, tok, col, pre_z, w_tok, w_hh1, b_hh1_ref,
+            w_ih2, b_ih2_ref, w_hh2, b_hh2_ref, w_out, b_out_ref)
         tok_new = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok_out_ref[i, :] = tok_new
         return h1_new, h2_new, tok_new
@@ -102,20 +113,56 @@ def _decode_kernel(steps: int, V: int, Vp: int,
     jax.lax.fori_loop(0, steps, body, (h1, h2, start_tok))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("steps", "interpret"))
-def pallas_greedy_decode(gview: Dict, z: jax.Array, steps: int,
-                         interpret: bool = False) -> jax.Array:
-    """Greedy decode via the VMEM-resident kernel.
+def _sample_kernel(steps: int, V: int, Vp: int,
+                   w_tok_ref, w_hh1_ref, b_hh1_ref,
+                   w_ih2_ref, b_ih2_ref, w_hh2_ref, b_hh2_ref,
+                   w_out_ref, b_out_ref,
+                   pre_z_ref, h1_0_ref, noise_ref, inv_t_ref,
+                   tok_out_ref):
+    """Gumbel-max sampling variant of `_decode_kernel`: feedback token is
+    `argmax(logits/T + g)` with precomputed Gumbel noise g (`noise_ref`,
+    (steps, B, Vp)) and a PER-ROW inverse temperature (`inv_t_ref`,
+    (B, 1)). Rows with inv_t == 1 and zero noise reproduce the greedy
+    decode exactly (f32 *1.0 and +0.0 are exact), so one program can serve
+    a mixed greedy/sampled batch. Precomputing the noise outside keeps the
+    kernel PRNG-free and makes the kernel and scan paths sample IDENTICAL
+    tokens from the same key. The reference has no sampling decode at all
+    (argmax `_sampling`, model_v2.py:72-79) — a TPU-native serving
+    addition."""
+    B = h1_0_ref.shape[0]
+    H = h1_0_ref.shape[1]
 
-    gview: the `_global_view` param dict (linear_init_global, grucell_g,
-    grucell_g_2, linear_out_g). z: (B, z_total). Returns int32 tokens
-    (B, steps) — identical to argmax over `global_decoder_greedy` output.
-    """
+    w_tok = w_tok_ref[:]
+    w_hh1 = w_hh1_ref[:]
+    w_ih2 = w_ih2_ref[:]
+    w_hh2 = w_hh2_ref[:]
+    w_out = w_out_ref[:]
+    pre_z = pre_z_ref[:]
+    inv_t = inv_t_ref[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    start_tok = jnp.full((B,), V - 1, jnp.int32)
+
+    def body(i, carry):
+        h1, h2, tok = carry
+        h1_new, h2_new, logits = _step_logits(
+            i, h1, h2, tok, col, pre_z, w_tok, w_hh1, b_hh1_ref,
+            w_ih2, b_ih2_ref, w_hh2, b_hh2_ref, w_out, b_out_ref)
+        tok_new = jnp.argmax(logits * inv_t + noise_ref[i],
+                             axis=-1).astype(jnp.int32)
+        tok_out_ref[i, :] = tok_new
+        return h1_new, h2_new, tok_new
+
+    h1 = h1_0_ref[:]
+    h2 = jnp.zeros((B, H), h1.dtype)
+    jax.lax.fori_loop(0, steps, body, (h1, h2, start_tok))
+
+
+def _prep_decode_args(gview: Dict, z: jax.Array):
+    """Build the kernel argument tuple (weights padded to the lane
+    boundary, z-projection and h0 precomputed). Returns (args, V, Vp)."""
     V = gview["linear_out_g"]["w"].shape[-1]
     Vp = ((V + LANE - 1) // LANE) * LANE
-    H = gview["grucell_g"]["w_hh"].shape[0]
-    B = z.shape[0]
     dtype = jnp.float32
 
     if "w_tok_p" in gview["grucell_g"]:       # fast layout (models/fast.py)
@@ -148,7 +195,50 @@ def pallas_greedy_decode(gview: Dict, z: jax.Array, steps: int,
         pre_z,
         h1_0,
     )
+    return args, V, Vp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret"))
+def pallas_greedy_decode(gview: Dict, z: jax.Array, steps: int,
+                         interpret: bool = False) -> jax.Array:
+    """Greedy decode via the VMEM-resident kernel.
+
+    gview: the `_global_view` param dict (linear_init_global, grucell_g,
+    grucell_g_2, linear_out_g). z: (B, z_total). Returns int32 tokens
+    (B, steps) — identical to argmax over `global_decoder_greedy` output.
+    """
+    B = z.shape[0]
+    args, V, Vp = _prep_decode_args(gview, z)
     kernel = functools.partial(_decode_kernel, steps, V, Vp)
+    tokens = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((steps, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return tokens.T                                            # (B, steps)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret"))
+def pallas_sample_decode(gview: Dict, z: jax.Array, noise: jax.Array,
+                         inv_t: jax.Array, steps: int,
+                         interpret: bool = False) -> jax.Array:
+    """Gumbel-max sampling decode via the VMEM-resident kernel.
+
+    noise: (steps, B, Vp) precomputed Gumbel noise (see
+    sample_decode_tokens); inv_t: (B, 1) per-row 1/temperature (rows with
+    inv_t=1 and zero noise decode greedily — exact). Returns int32 tokens
+    (B, steps)."""
+    B = z.shape[0]
+    args, V, Vp = _prep_decode_args(gview, z)
+    args = args + (noise.astype(jnp.float32),
+                   jnp.broadcast_to(inv_t.astype(jnp.float32), (B, 1)))
+    kernel = functools.partial(_sample_kernel, steps, V, Vp)
     tokens = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((steps, B), jnp.int32),
@@ -166,6 +256,40 @@ def _scan_decode_tokens(gview: Dict, z: jax.Array, steps: int) -> jax.Array:
     from music_fader_nets_tpu.models.modules import global_decoder_greedy
     logp = global_decoder_greedy(gview, z, steps)
     return jnp.argmax(logp, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _scan_sample_tokens(gview: Dict, z: jax.Array, noise: jax.Array,
+                        inv_t: jax.Array, steps: int) -> jax.Array:
+    """XLA-scan mirror of `_sample_kernel`: same padded weights, same raw
+    logits (not log-probs), same noise, same per-row inverse temperature —
+    so both paths sample identical tokens from one key (the one-hot matmul
+    becomes an exact row gather)."""
+    args, V, Vp = _prep_decode_args(gview, z)
+    (w_tok, w_hh1, b_hh1, w_ih2, b_ih2, w_hh2, b_hh2,
+     w_out, b_out, pre_z, h1_0) = args
+    B = z.shape[0]
+    inv_t = jnp.broadcast_to(inv_t.astype(jnp.float32), (B, 1))
+    tok0 = jnp.full((B,), V - 1, jnp.int32)
+    h2_0 = jnp.zeros_like(h1_0)
+
+    def body(carry, xs):
+        h1, h2, tok = carry
+        i, g = xs
+        pre1 = jnp.take(w_tok, tok, axis=0) + pre_z
+        pre_h1 = h1 @ w_hh1 + b_hh1
+        h1_new = _gru_gates(pre1, pre_h1, h1)
+        h2_prev = jnp.where(i == 0, h1_new, h2)
+        pre2 = h1_new @ w_ih2 + b_ih2
+        pre_h2 = h2_prev @ w_hh2 + b_hh2
+        h2_new = _gru_gates(pre2, pre_h2, h2_prev)
+        logits = h2_new @ w_out + b_out
+        tok_new = jnp.argmax(logits * inv_t + g, axis=-1).astype(jnp.int32)
+        return (h1_new, h2_new, tok_new), tok_new
+
+    _, toks = jax.lax.scan(body, (h1_0, h2_0, tok0),
+                           (jnp.arange(steps), noise.astype(jnp.float32)))
+    return toks.T                                              # (B, steps)
 
 
 # which path served the LAST greedy_decode_tokens call: "kernel",
@@ -268,3 +392,65 @@ def greedy_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     else:
         LAST_DECODE_PATH = "scan"
     return _scan_decode_tokens(gview, z, steps)
+
+
+def sample_decode_tokens(gview: Dict, z: jax.Array, steps: int,
+                         key: jax.Array, temperature: float = 1.0,
+                         use_pallas: bool = True,
+                         interpret: bool = False) -> jax.Array:
+    """Stochastic autoregressive decode: token feedback is a sample from
+    softmax(logits / temperature), drawn via the Gumbel-max trick
+    (`argmax(logits/T + g)`, g ~ Gumbel(0,1)).
+
+    A TPU-native serving addition — the reference decodes with argmax only
+    (`_sampling`, model_v2.py:72-79). temperature <= 0 degenerates to the
+    greedy decode. The (steps, B, Vp) noise is precomputed from `key`
+    OUTSIDE the kernel, which keeps the kernel PRNG-free and makes the
+    kernel and scan paths sample IDENTICAL tokens from the same key
+    (pinned by tests/test_pallas_decode.py). Routing, chunking and the
+    LAST_DECODE_PATH telemetry mirror greedy_decode_tokens."""
+    global LAST_DECODE_PATH, _warned_fallback
+    if temperature <= 0:
+        return greedy_decode_tokens(gview, z, steps, use_pallas, interpret)
+    B = z.shape[0]
+    V = gview["linear_out_g"]["w"].shape[-1]
+    Vp = ((V + LANE - 1) // LANE) * LANE
+    noise = jax.random.gumbel(key, (steps, B, Vp), jnp.float32)
+    inv_t = jnp.full((B, 1), 1.0 / temperature, jnp.float32)
+    if (use_pallas and not interpret and isinstance(z, jax.core.Tracer)
+            and jax.default_backend() != "tpu"):
+        LAST_DECODE_PATH = "scan-cpu"           # see greedy_decode_tokens
+        return _scan_sample_tokens(gview, z, noise, inv_t, steps)
+    if use_pallas:
+        try:
+            if B <= _CHUNK:
+                out = pallas_sample_decode(gview, z, noise, inv_t, steps,
+                                           interpret=interpret)
+                LAST_DECODE_PATH = "kernel"
+            else:
+                pad = (-B) % _CHUNK
+                zp = jnp.pad(z, ((0, pad), (0, 0))) if pad else z
+                gp = (jnp.pad(noise, ((0, 0), (0, pad), (0, 0)))
+                      if pad else noise)
+                tp = (jnp.pad(inv_t, ((0, pad), (0, 0)), constant_values=1.0)
+                      if pad else inv_t)
+                outs = [pallas_sample_decode(gview, zp[s: s + _CHUNK],
+                                             gp[:, s: s + _CHUNK],
+                                             tp[s: s + _CHUNK],
+                                             steps, interpret=interpret)
+                        for s in range(0, B + pad, _CHUNK)]
+                out = jnp.concatenate(outs)[:B]
+                LAST_DECODE_PATH = "kernel-chunked"
+            return out
+        except _FALLBACK_ERRORS as e:
+            if not _warned_fallback:
+                import warnings
+                warnings.warn(
+                    "pallas decode kernel unavailable, falling back to the "
+                    f"XLA scan ({type(e).__name__}: {str(e)[:200]})",
+                    RuntimeWarning, stacklevel=2)
+                _warned_fallback = True
+            LAST_DECODE_PATH = "scan-fallback"
+    else:
+        LAST_DECODE_PATH = "scan"
+    return _scan_sample_tokens(gview, z, noise, inv_t, steps)

@@ -32,7 +32,7 @@ Requests are plain dicts (the JSON-line protocol of `serve/cli.py`):
 
     {"id": "r1", "tokens": [...], "chroma": [24 floats]?,
      "direction": "low_to_high"|"high_to_low"|"none", "lam": 1.0,
-     "steps": 300?, "seed": 7?, "return_z": false?}
+     "steps": 300?, "seed": 7?, "temperature": 0.9?, "return_z": false?}
 
 `direction`/`lam` move the latent along the GM-VAE component-mean line
 exactly as `transfer/arousal.py` (notebook cells 11-15). By default z is
@@ -40,6 +40,21 @@ the posterior MEAN — deterministic serving; pass `seed` for the notebook's
 sampled-z behavior (per-request reproducible). Families without mixture
 tables (vanilla/glsr checkpoints share the encoder/decoder layout) are
 served reconstruct-only: any non-"none" direction is rejected per-request.
+
+`temperature` > 0 switches that row's decode from greedy argmax to
+Gumbel-max sampling from softmax(logits/T) — per-row, so one batch mixes
+greedy and sampled requests. Sampled rows are reproducible per `seed`
+(without one, a server nonce makes them vary per request). Batches with at
+least one sampled row run a SECOND fixed-shape program (`_build_sample_
+step`: per-row 1/T + on-device per-row Gumbel noise, zeroed for greedy
+rows, feeding the sampling decode kernel); all-greedy batches keep the
+original program, so deterministic traffic pays nothing. A greedy row's
+inv_t=1/zero-noise decode is bit-exact GIVEN the same logits, but the two
+programs compile separately, so at the TPU's default matmul precision
+their encoder outputs can differ in low bits and near-tie argmax flips
+compound through the feedback loop (measured on chip; the same class of
+divergence as kernel-vs-scan, docs/kernels.md) — each program is
+individually deterministic, which is what per-seed reproducibility needs.
 """
 from __future__ import annotations
 
@@ -56,7 +71,8 @@ import numpy as np
 from music_fader_nets_tpu.config import ModelConfig
 from music_fader_nets_tpu.models.vae import _global_view, reg_vae_encode
 from music_fader_nets_tpu.ops.pallas_decode import (
-    _FALLBACK_ERRORS, _scan_decode_tokens, pallas_greedy_decode,
+    _FALLBACK_ERRORS, LANE, _scan_decode_tokens, _scan_sample_tokens,
+    pallas_greedy_decode, pallas_sample_decode,
 )
 from music_fader_nets_tpu.transfer.arousal import compute_shift_vectors
 
@@ -81,6 +97,37 @@ def _build_step(cfg: ModelConfig, steps: int, use_pallas: bool):
             out = pallas_greedy_decode(gview, z, steps)
         else:
             out = _scan_decode_tokens(gview, z, steps)
+        return out, z
+
+    return jax.jit(step)
+
+
+def _build_sample_step(cfg: ModelConfig, steps: int, use_pallas: bool):
+    """Second program, used only for batches with >= 1 sampled row: same
+    encode/shift pipeline, then a Gumbel-max decode with per-row inverse
+    temperature. The (steps, B, Vp) noise is generated ON DEVICE from
+    per-row seeds (29.5 MB at B=64/steps=300 — far too big to ship over
+    the tunneled host link per batch) and zeroed for greedy rows, which
+    together with inv_t=1 reproduces greedy exactly (f32 *1.0/+0.0)."""
+    Vp = ((cfg.roll_dims + LANE - 1) // LANE) * LANE
+
+    def step(params, tokens, chroma, shift_r, shift_n, lam, eps_r, eps_n,
+             inv_t, noise_seed, noise_mask):
+        x_oh = jax.nn.one_hot(tokens, cfg.roll_dims, dtype=jnp.float32)
+        (mu_r, std_r), (mu_n, std_n) = reg_vae_encode(
+            params, x_oh, use_pallas=use_pallas, tokens=tokens)
+        z_r = mu_r + std_r * eps_r + lam[:, None] * shift_r
+        z_n = mu_n + std_n * eps_n + lam[:, None] * shift_n
+        z = jnp.concatenate([z_r, z_n, chroma.astype(z_r.dtype)], axis=-1)
+        gview = _global_view(params)
+        keys = jax.vmap(jax.random.PRNGKey)(noise_seed)
+        noise = jax.vmap(
+            lambda k: jax.random.gumbel(k, (steps, Vp), jnp.float32))(keys)
+        noise = jnp.swapaxes(noise, 0, 1) * noise_mask[None, :, None]
+        if use_pallas:
+            out = pallas_sample_decode(gview, z, noise, inv_t, steps)
+        else:
+            out = _scan_sample_tokens(gview, z, noise, inv_t, steps)
         return out, z
 
     return jax.jit(step)
@@ -116,18 +163,37 @@ class TransferServer:
             self._shifts = None
 
         self._step = _build_step(cfg, self.steps, use_pallas)
+        self._sample_step = _build_sample_step(cfg, self.steps, use_pallas)
         self.serving_path = "kernel" if use_pallas else "scan"
         try:
-            self._warmup()
+            self._warmup_greedy()
         except _FALLBACK_ERRORS:
             # no Mosaic lowering here (CPU) or kernel launch failure:
-            # rebuild the whole step around the XLA scan — never silent
+            # rebuild both steps around the XLA scan — never silent
             import warnings
             warnings.warn("pallas decode unavailable; serving via the XLA "
                           "scan", RuntimeWarning)
             self._step = _build_step(cfg, self.steps, False)
+            self._sample_step = _build_sample_step(cfg, self.steps, False)
             self.serving_path = "scan"
-            self._warmup()
+            self._warmup_greedy()
+            self._warmup_sample()
+        else:
+            try:
+                self._warmup_sample()
+            except _FALLBACK_ERRORS:
+                # only the SAMPLING program failed (e.g. its extra
+                # (steps, B, Vp) VMEM noise block): demote sampled rows to
+                # the scan, keep greedy serving on the kernel
+                import warnings
+                warnings.warn("pallas sampling decode unavailable; sampled "
+                              "rows served via the XLA scan", RuntimeWarning)
+                self._sample_step = _build_sample_step(cfg, self.steps,
+                                                       False)
+                self._warmup_sample()
+        # nonce seeds for sampled rows that carry no explicit seed
+        import itertools
+        self._nonce = itertools.count(1)
 
         self._q: "queue.Queue" = queue.Queue()
         # double buffering: the dispatch thread assembles + launches batch
@@ -247,13 +313,18 @@ class TransferServer:
             raise ValueError(f"steps must be in (0, {self.steps}] (the "
                              f"server's compiled decode length)")
         seed = req.get("seed")
+        temperature = float(req.get("temperature", 0.0) or 0.0)
+        if not np.isfinite(temperature) or temperature < 0:
+            raise ValueError("temperature must be a finite float >= 0 "
+                             "(0 = greedy decode)")
         return {"id": req.get("id"), "tokens": tokens, "chroma": chroma,
                 "direction": direction, "lam": float(req.get("lam", 1.0)),
                 "steps": steps,
                 "seed": None if seed is None else int(seed),
+                "temperature": temperature,
                 "return_z": bool(req.get("return_z", False))}
 
-    def _warmup(self) -> None:
+    def _warmup_greedy(self) -> None:
         B, cfg = self.max_batch, self.cfg
         z = np.zeros((B, cfg.z_dims), np.float32)
         out, _ = self._step(self.params,
@@ -263,6 +334,18 @@ class TransferServer:
         # materialize, don't block_until_ready: on the tunneled TPU
         # block_until_ready can return early (CLAUDE.md), and a kernel
         # launch failure must surface HERE for the scan fallback to engage
+        np.asarray(out)
+
+    def _warmup_sample(self) -> None:
+        B, cfg = self.max_batch, self.cfg
+        z = np.zeros((B, cfg.z_dims), np.float32)
+        out, _ = self._sample_step(
+            self.params,
+            np.zeros((B, cfg.seq_len), np.int32),
+            np.zeros((B, cfg.chroma_dims), np.float32),
+            z, z, np.zeros((B,), np.float32), z, z,
+            np.ones((B, 1), np.float32), np.zeros((B,), np.int32),
+            np.zeros((B,), np.float32))
         np.asarray(out)
 
     def _dispatch_loop(self) -> None:
@@ -320,6 +403,10 @@ class TransferServer:
         lam = np.zeros((B,), np.float32)
         eps_r = np.zeros((B, cfg.z_dims), np.float32)
         eps_n = np.zeros((B, cfg.z_dims), np.float32)
+        inv_t = np.ones((B, 1), np.float32)
+        noise_seed = np.zeros((B,), np.int32)
+        noise_mask = np.zeros((B,), np.float32)
+        any_sampled = False
         for i, (row, _, _) in enumerate(batch):
             tokens[i] = row["tokens"]
             chroma[i] = row["chroma"]
@@ -331,14 +418,27 @@ class TransferServer:
                 rng = np.random.default_rng(row["seed"])
                 eps_r[i] = rng.standard_normal(cfg.z_dims)
                 eps_n[i] = rng.standard_normal(cfg.z_dims)
+            if row["temperature"] > 0:
+                any_sampled = True
+                inv_t[i] = 1.0 / row["temperature"]
+                noise_mask[i] = 1.0
+                s = row["seed"] if row["seed"] is not None \
+                    else next(self._nonce)
+                noise_seed[i] = np.int32(np.uint32(s & 0xFFFFFFFF))
 
         # blocks until a fetch completes once pipeline_depth batches are
         # in flight — backpressure; released by _fetch_loop
         self._slots.acquire()
         t0 = time.monotonic()
         try:
-            out, z = self._step(self.params, tokens, chroma, shift_r,
-                                shift_n, lam, eps_r, eps_n)
+            if any_sampled:
+                out, z = self._sample_step(self.params, tokens, chroma,
+                                           shift_r, shift_n, lam, eps_r,
+                                           eps_n, inv_t, noise_seed,
+                                           noise_mask)
+            else:
+                out, z = self._step(self.params, tokens, chroma, shift_r,
+                                    shift_n, lam, eps_r, eps_n)
         except Exception:
             self._slots.release()    # never leak a launch slot
             raise

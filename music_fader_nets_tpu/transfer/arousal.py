@@ -39,14 +39,19 @@ def compute_shift_vectors(params) -> Dict[str, np.ndarray]:
 def arousal_transfer(params, cfg: ModelConfig, item: Dict[str, np.ndarray],
                      direction: str = "low_to_high", lam: float = 1.0,
                      steps: int = 300, rng: Optional[jax.Array] = None,
+                     temperature: float = 0.0,
                      ) -> Tuple[np.ndarray, List[MidiNote]]:
     """item: one dataset element with 'x' tokens and 'c' chroma.
     direction: 'low_to_high' | 'high_to_low'; lam = transfer strength
-    (notebook cell 15). Returns (generated tokens, decoded notes)."""
+    (notebook cell 15). temperature > 0 switches the decode from the
+    reference-faithful greedy argmax to Gumbel-max sampling from
+    softmax(logits/T) — a TPU-native addition (the reference notebook only
+    decodes greedily); the sampling noise derives from `rng`, so transfers
+    are reproducible per seed. Returns (generated tokens, decoded notes)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     x_oh = jax.nn.one_hot(np.asarray(item["x"])[None], cfg.roll_dims)
     (mu_r, std_r), (mu_n, std_n) = jax.jit(reg_gmvae_encode)(params, x_oh)
-    kr, kn = jax.random.split(rng)
+    kr, kn, kd = jax.random.split(rng, 3)
     z_r = reparameterize(kr, mu_r, std_r)
     z_n = reparameterize(kn, mu_n, std_n)
 
@@ -58,8 +63,13 @@ def arousal_transfer(params, cfg: ModelConfig, item: Dict[str, np.ndarray],
     z = jnp.concatenate([z_r, z_n, c], axis=-1)
     # VMEM-resident Pallas decode (2.4x the XLA scan at B=1); falls back to
     # the scan off-TPU
-    from music_fader_nets_tpu.models.gmvae import reg_gmvae_decode_tokens
-    tokens = np.asarray(reg_gmvae_decode_tokens(params, z, steps))[0]
+    if temperature > 0:
+        from music_fader_nets_tpu.models.gmvae import reg_gmvae_sample_tokens
+        tokens = np.asarray(reg_gmvae_sample_tokens(
+            params, z, steps, kd, temperature))[0]
+    else:
+        from music_fader_nets_tpu.models.gmvae import reg_gmvae_decode_tokens
+        tokens = np.asarray(reg_gmvae_decode_tokens(params, z, steps))[0]
     notes = performance_decode([t for t in tokens.tolist() if t > 1])
     return tokens, notes
 

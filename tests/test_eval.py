@@ -211,6 +211,15 @@ def test_arousal_transfer(tmp_path, arrays):
     import os
     assert os.path.getsize(out) > 20
 
+    # temperature > 0: sampling decode, reproducible per rng, in-vocab
+    rng = jax.random.PRNGKey(3)
+    t1, _ = arousal_transfer(params, cfg, item, "low_to_high", lam=2.0,
+                             steps=50, rng=rng, temperature=0.9)
+    t2, _ = arousal_transfer(params, cfg, item, "low_to_high", lam=2.0,
+                             steps=50, rng=rng, temperature=0.9)
+    np.testing.assert_array_equal(t1, t2)
+    assert t1.min() >= 0 and t1.max() < 342
+
 
 def test_decode_all_pads_to_chunk(arrays):
     """_decode_all pads the wave to the chunk granularity and makes ONE

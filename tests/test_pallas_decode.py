@@ -86,6 +86,64 @@ def test_large_batch_chunking_under_outer_jit():
     assert pallas_decode.LAST_DECODE_PATH == "kernel-chunked"
 
 
+def test_sample_decode_kernel_matches_scan_and_greedy_limit():
+    """Gumbel-max sampling decode (TPU-native addition; the reference only
+    has argmax `_sampling`, model_v2.py:72-79): the kernel and scan paths
+    sample IDENTICAL tokens from one key (noise is precomputed outside the
+    kernel), temperature <= 0 degenerates to the greedy decode, and
+    different keys give different streams."""
+    from music_fader_nets_tpu.ops import pallas_decode
+    from music_fader_nets_tpu.ops.pallas_decode import sample_decode_tokens
+    gv = _sharp_gview()
+    z = jax.random.normal(jax.random.PRNGKey(8), (3, 280))
+    key = jax.random.PRNGKey(42)
+
+    a = np.asarray(sample_decode_tokens(gv, z, 12, key, 0.8,
+                                        use_pallas=True, interpret=True))
+    assert pallas_decode.LAST_DECODE_PATH == "kernel"
+    b = np.asarray(sample_decode_tokens(gv, z, 12, key, 0.8,
+                                        use_pallas=False))
+    assert pallas_decode.LAST_DECODE_PATH == "scan"
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (3, 12) and a.min() >= 0 and a.max() < 342
+
+    # T<=0 delegates to greedy
+    g = np.asarray(sample_decode_tokens(gv, z, 12, key, 0.0,
+                                        use_pallas=False))
+    gr = np.asarray(greedy_decode_tokens(gv, z, 12, use_pallas=False))
+    np.testing.assert_array_equal(g, gr)
+
+    # stochastic: a different key must change the stream
+    c = np.asarray(sample_decode_tokens(gv, z, 12, jax.random.PRNGKey(7),
+                                        0.8, use_pallas=False))
+    assert (a != c).any()
+
+
+def test_sample_decode_chunking_and_outer_jit():
+    """>_CHUNK-row sampling decodes chunk like greedy (noise chunked along
+    the batch axis with the rows); under an outer jit on CPU the scan
+    serves (same guard as greedy)."""
+    from music_fader_nets_tpu.ops import pallas_decode
+    from music_fader_nets_tpu.ops.pallas_decode import sample_decode_tokens
+    gv = _sharp_gview()
+    key = jax.random.PRNGKey(9)
+    z70 = jax.random.normal(jax.random.PRNGKey(10), (70, 280))
+    a = np.asarray(sample_decode_tokens(gv, z70, 6, key, 1.2,
+                                        use_pallas=True, interpret=True))
+    assert pallas_decode.LAST_DECODE_PATH == "kernel-chunked"
+    b = np.asarray(sample_decode_tokens(gv, z70, 6, key, 1.2,
+                                        use_pallas=False))
+    np.testing.assert_array_equal(a, b)
+
+    z = jax.random.normal(jax.random.PRNGKey(11), (2, 280))
+    f = jax.jit(lambda p, zz: sample_decode_tokens(p, zz, 6, key, 1.2))
+    got = np.asarray(f(gv, z))
+    assert pallas_decode.LAST_DECODE_PATH == "scan-cpu"
+    np.testing.assert_array_equal(
+        got, np.asarray(sample_decode_tokens(gv, z, 6, key, 1.2,
+                                             use_pallas=False)))
+
+
 def test_outer_jit_on_cpu_routes_to_scan():
     """Under an OUTER jit on a non-TPU backend (no interpret), the kernel's
     compile failure would surface at the outer jit's compile — outside the

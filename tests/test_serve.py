@@ -92,6 +92,45 @@ def test_seeded_rows_reproducible(gmm_server):
     assert z1 != z_mean            # sampled z differs from the mean path
 
 
+def test_temperature_sampling_rows(gmm_server):
+    """Per-row temperature: a mixed batch serves greedy rows exactly as
+    the all-greedy program would, sampled rows are reproducible per seed
+    and vary without one, and negative temperatures reject."""
+    import concurrent.futures as cf
+    rng = np.random.default_rng(5)
+    greedy = _req(0, rng)
+    s_rng = np.random.default_rng(6)
+    sampled = _req(1, s_rng, temperature=0.9, seed=77)
+
+    base = gmm_server.request(dict(greedy))          # all-greedy batch
+    # submit together so both land in ONE (sampled-program) batch
+    futs = [gmm_server.submit(dict(greedy)), gmm_server.submit(dict(sampled))]
+    got_g, got_s = [f.result() for f in futs]
+    if got_g["batch_rows"] == 2:                     # coalesced as intended
+        # exact on CPU (deterministic XLA); on TPU at default matmul
+        # precision the two separately-compiled programs can flip
+        # near-tie argmaxes (documented in serve/server.py)
+        assert got_g["tokens"] == base["tokens"]
+    # reproducible per seed (batched alone or not)
+    rep = gmm_server.request(dict(sampled))
+    assert rep["tokens"] == got_s["tokens"]
+    # no seed -> server nonce -> streams differ
+    free = {**sampled, "seed": None}
+    a = gmm_server.request(dict(free))
+    b = gmm_server.request(dict(free))
+    assert a["tokens"] != b["tokens"]
+    # sampled output stays in-vocab
+    toks = np.asarray(got_s["tokens"])
+    assert toks.min() >= 0 and toks.max() < CFG.roll_dims
+
+    before = gmm_server.stats()["rejected"]
+    assert "error" in gmm_server.request(
+        {"tokens": [1, 2], "temperature": -0.5})
+    assert "error" in gmm_server.request(
+        {"tokens": [1, 2], "temperature": float("nan")})
+    assert gmm_server.stats()["rejected"] == before + 2
+
+
 def test_steps_truncation_and_validation(gmm_server):
     rng = np.random.default_rng(2)
     resp = gmm_server.request(_req(0, rng, steps=5))
