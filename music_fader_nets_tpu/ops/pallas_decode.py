@@ -317,28 +317,52 @@ _FALLBACK_ERRORS = (NotImplementedError, ValueError,
 
 _warned_fallback = False
 
+# sampling temperature bounds (sample_decode_tokens): far inside float32
+# 1/T safety — T below ~1e-38 overflows inv_t to inf, T above ~1e27 lets
+# the -1e30 * inv_t pad-lane bias tie with real lanes. [1e-6, 1e6] is
+# generous for a 342-way softmax; pass temperature=0 for greedy.
+TEMPERATURE_MIN = 1e-6
+TEMPERATURE_MAX = 1e6
+
 
 def _chunked_kernel_decode(gview: Dict, z: jax.Array, steps: int,
-                           interpret: bool) -> jax.Array:
+                           interpret: bool, noise=None,
+                           inv_t=None) -> jax.Array:
     """>_CHUNK-row decode as ceil(B/_CHUNK) fixed-shape kernel calls.
 
     Every chunk is exactly _CHUNK rows (tail zero-padded), so all calls
-    share one compiled executable. Works both eagerly and under an outer
-    trace; eager callers get the pad/slice done host-side in numpy so the
-    only device work is the kernel launches plus one concat."""
+    share one compiled executable. With `noise`/`inv_t` the chunks run the
+    SAMPLING kernel (noise sliced along its batch axis 1 so chunked
+    results equal the one-call scan path for the same key). Works both
+    eagerly and under an outer trace; eager callers get the z pad/slice
+    done host-side in numpy so the device work is the kernel launches plus
+    one concat — EXCEPT the noise, which is device-generated and far too
+    big to round-trip over a tunneled host link (29.5 MB at 300 steps x
+    64 rows): it is always padded/sliced with device ops."""
     B = z.shape[0]
     pad = (-B) % _CHUNK
+    sampled = noise is not None
+    if sampled:
+        noise = jnp.pad(noise, ((0, 0), (0, pad), (0, 0))) if pad else noise
+        inv_t = (jnp.pad(inv_t, ((0, pad), (0, 0)), constant_values=1.0)
+                 if pad else inv_t)
+
+    def launch(s, zc):
+        if sampled:
+            return pallas_sample_decode(gview, zc, noise[:, s: s + _CHUNK],
+                                        inv_t[s: s + _CHUNK], steps,
+                                        interpret=interpret)
+        return pallas_greedy_decode(gview, zc, steps, interpret=interpret)
+
     if isinstance(z, jax.core.Tracer):
         zp = jnp.pad(z, ((0, pad), (0, 0))) if pad else z
-        outs = [pallas_greedy_decode(gview, zp[s: s + _CHUNK], steps,
-                                     interpret=interpret)
+        outs = [launch(s, zp[s: s + _CHUNK])
                 for s in range(0, B + pad, _CHUNK)]
         return jnp.concatenate(outs)[:B]
     zc = np.asarray(z)
     if pad:
         zc = np.concatenate([zc, np.zeros((pad, zc.shape[1]), zc.dtype)])
-    outs = [pallas_greedy_decode(gview, jnp.asarray(zc[s: s + _CHUNK]),
-                                 steps, interpret=interpret)
+    outs = [launch(s, jnp.asarray(zc[s: s + _CHUNK]))
             for s in range(0, B + pad, _CHUNK)]
     return jnp.concatenate(outs)[:B] if len(outs) > 1 else outs[0][:B]
 
@@ -412,6 +436,15 @@ def sample_decode_tokens(gview: Dict, z: jax.Array, steps: int,
     global LAST_DECODE_PATH, _warned_fallback
     if temperature <= 0:
         return greedy_decode_tokens(gview, z, steps, use_pallas, interpret)
+    # float32 safety bounds: beyond them 1/T underflows to 0 (so the
+    # -1e30 * inv_t pad-lane bias ties with real lanes and the argmax can
+    # emit OUT-OF-VOCAB pad ids) or overflows to inf (NaN logits) — reject
+    # rather than silently break the in-vocab contract
+    if not (TEMPERATURE_MIN <= temperature <= TEMPERATURE_MAX):
+        raise ValueError(
+            f"temperature must be 0 (greedy) or within "
+            f"[{TEMPERATURE_MIN:g}, {TEMPERATURE_MAX:g}] (float32 1/T "
+            f"bounds), got {temperature!r}")
     B = z.shape[0]
     V = gview["linear_out_g"]["w"].shape[-1]
     Vp = ((V + LANE - 1) // LANE) * LANE
@@ -428,18 +461,8 @@ def sample_decode_tokens(gview: Dict, z: jax.Array, steps: int,
                                            interpret=interpret)
                 LAST_DECODE_PATH = "kernel"
             else:
-                pad = (-B) % _CHUNK
-                zp = jnp.pad(z, ((0, pad), (0, 0))) if pad else z
-                gp = (jnp.pad(noise, ((0, 0), (0, pad), (0, 0)))
-                      if pad else noise)
-                tp = (jnp.pad(inv_t, ((0, pad), (0, 0)), constant_values=1.0)
-                      if pad else inv_t)
-                outs = [pallas_sample_decode(gview, zp[s: s + _CHUNK],
-                                             gp[:, s: s + _CHUNK],
-                                             tp[s: s + _CHUNK],
-                                             steps, interpret=interpret)
-                        for s in range(0, B + pad, _CHUNK)]
-                out = jnp.concatenate(outs)[:B]
+                out = _chunked_kernel_decode(gview, z, steps, interpret,
+                                             noise=noise, inv_t=inv_t)
                 LAST_DECODE_PATH = "kernel-chunked"
             return out
         except _FALLBACK_ERRORS as e:

@@ -47,8 +47,9 @@ greedy and sampled requests. Sampled rows are reproducible per `seed`
 (without one, a server nonce makes them vary per request). Batches with at
 least one sampled row run a SECOND fixed-shape program (`_build_sample_
 step`: per-row 1/T + on-device per-row Gumbel noise, zeroed for greedy
-rows, feeding the sampling decode kernel); all-greedy batches keep the
-original program, so deterministic traffic pays nothing. A greedy row's
+rows, feeding the sampling decode kernel), compiled lazily on the first
+such batch; all-greedy traffic keeps the original program and never pays
+the second compile. A greedy row's
 inv_t=1/zero-noise decode is bit-exact GIVEN the same logits, but the two
 programs compile separately, so at the TPU's default matmul precision
 their encoder outputs can differ in low bits and near-tie argmax flips
@@ -163,34 +164,25 @@ class TransferServer:
             self._shifts = None
 
         self._step = _build_step(cfg, self.steps, use_pallas)
-        self._sample_step = _build_sample_step(cfg, self.steps, use_pallas)
         self.serving_path = "kernel" if use_pallas else "scan"
         try:
             self._warmup_greedy()
         except _FALLBACK_ERRORS:
             # no Mosaic lowering here (CPU) or kernel launch failure:
-            # rebuild both steps around the XLA scan — never silent
+            # rebuild the step around the XLA scan — never silent
             import warnings
             warnings.warn("pallas decode unavailable; serving via the XLA "
                           "scan", RuntimeWarning)
             self._step = _build_step(cfg, self.steps, False)
-            self._sample_step = _build_sample_step(cfg, self.steps, False)
             self.serving_path = "scan"
             self._warmup_greedy()
-            self._warmup_sample()
-        else:
-            try:
-                self._warmup_sample()
-            except _FALLBACK_ERRORS:
-                # only the SAMPLING program failed (e.g. its extra
-                # (steps, B, Vp) VMEM noise block): demote sampled rows to
-                # the scan, keep greedy serving on the kernel
-                import warnings
-                warnings.warn("pallas sampling decode unavailable; sampled "
-                              "rows served via the XLA scan", RuntimeWarning)
-                self._sample_step = _build_sample_step(cfg, self.steps,
-                                                       False)
-                self._warmup_sample()
+            use_pallas = False
+        # the sampling program is built + warmed LAZILY on the first batch
+        # containing a sampled row (_ensure_sample_step): greedy-only
+        # deployments never pay its compile (minutes-class cold on a
+        # tunneled TPU) or its ~30 MB noise block
+        self._use_pallas = use_pallas
+        self._sample_step = None
         # nonce seeds for sampled rows that carry no explicit seed
         import itertools
         self._nonce = itertools.count(1)
@@ -313,10 +305,21 @@ class TransferServer:
             raise ValueError(f"steps must be in (0, {self.steps}] (the "
                              f"server's compiled decode length)")
         seed = req.get("seed")
+        if seed is not None and int(seed) < 0:
+            # np.random.default_rng rejects negatives at LAUNCH time, which
+            # would fail the whole co-batched group — reject it here instead
+            raise ValueError("seed must be a non-negative integer")
         temperature = float(req.get("temperature", 0.0) or 0.0)
-        if not np.isfinite(temperature) or temperature < 0:
-            raise ValueError("temperature must be a finite float >= 0 "
-                             "(0 = greedy decode)")
+        from music_fader_nets_tpu.ops.pallas_decode import (
+            TEMPERATURE_MAX, TEMPERATURE_MIN,
+        )
+        if temperature != 0.0 and not (
+                TEMPERATURE_MIN <= temperature <= TEMPERATURE_MAX):
+            # beyond float32 1/T bounds the decode could emit out-of-vocab
+            # pad-lane ids (see ops/pallas_decode.TEMPERATURE_MIN docs)
+            raise ValueError(
+                f"temperature must be 0 (greedy) or within "
+                f"[{TEMPERATURE_MIN:g}, {TEMPERATURE_MAX:g}]")
         return {"id": req.get("id"), "tokens": tokens, "chroma": chroma,
                 "direction": direction, "lam": float(req.get("lam", 1.0)),
                 "steps": steps,
@@ -347,6 +350,28 @@ class TransferServer:
             np.ones((B, 1), np.float32), np.zeros((B,), np.int32),
             np.zeros((B,), np.float32))
         np.asarray(out)
+
+    def _ensure_sample_step(self) -> None:
+        """Build + warm the sampling program on first use (dispatch
+        thread only, so no locking needed). A kernel failure here demotes
+        ONLY sampled rows to the scan — greedy serving keeps its program —
+        and stamps the mixed path into `serving_path` so stats() never
+        attributes scan-speed sampled batches to the kernel."""
+        if self._sample_step is not None:
+            return
+        self._sample_step = _build_sample_step(self.cfg, self.steps,
+                                               self._use_pallas)
+        try:
+            self._warmup_sample()
+        except _FALLBACK_ERRORS:
+            import warnings
+            warnings.warn("pallas sampling decode unavailable; sampled "
+                          "rows served via the XLA scan", RuntimeWarning)
+            self._sample_step = _build_sample_step(self.cfg, self.steps,
+                                                   False)
+            if self.serving_path == "kernel":
+                self.serving_path = "kernel+scan-sample"
+            self._warmup_sample()
 
     def _dispatch_loop(self) -> None:
         while True:
@@ -425,6 +450,11 @@ class TransferServer:
                 s = row["seed"] if row["seed"] is not None \
                     else next(self._nonce)
                 noise_seed[i] = np.int32(np.uint32(s & 0xFFFFFFFF))
+
+        if any_sampled:
+            # lazy build/warm of the sampling program; an unrecoverable
+            # failure propagates to the caller's batch error handler
+            self._ensure_sample_step()
 
         # blocks until a fetch completes once pipeline_depth batches are
         # in flight — backpressure; released by _fetch_loop

@@ -118,6 +118,13 @@ def test_sample_decode_kernel_matches_scan_and_greedy_limit():
                                         0.8, use_pallas=False))
     assert (a != c).any()
 
+    # float32 1/T bounds: outside them inv_t underflows/overflows and the
+    # pad-lane argmax guard breaks (out-of-vocab ids) — must reject
+    import pytest
+    for t_bad in (1e300, 1e-30, float("inf")):
+        with pytest.raises(ValueError, match="temperature"):
+            sample_decode_tokens(gv, z, 4, key, t_bad, use_pallas=False)
+
 
 def test_sample_decode_chunking_and_outer_jit():
     """>_CHUNK-row sampling decodes chunk like greedy (noise chunked along

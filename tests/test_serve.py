@@ -103,14 +103,19 @@ def test_temperature_sampling_rows(gmm_server):
     sampled = _req(1, s_rng, temperature=0.9, seed=77)
 
     base = gmm_server.request(dict(greedy))          # all-greedy batch
-    # submit together so both land in ONE (sampled-program) batch
-    futs = [gmm_server.submit(dict(greedy)), gmm_server.submit(dict(sampled))]
-    got_g, got_s = [f.result() for f in futs]
-    if got_g["batch_rows"] == 2:                     # coalesced as intended
-        # exact on CPU (deterministic XLA); on TPU at default matmul
-        # precision the two separately-compiled programs can flip
-        # near-tie argmaxes (documented in serve/server.py)
-        assert got_g["tokens"] == base["tokens"]
+    # submit together so both land in ONE (sampled-program) batch; retry
+    # on timing skew so the greedy-equivalence claim is actually exercised
+    for _attempt in range(5):
+        futs = [gmm_server.submit(dict(greedy)),
+                gmm_server.submit(dict(sampled))]
+        got_g, got_s = [f.result() for f in futs]
+        if got_g["batch_rows"] == 2:
+            break
+    assert got_g["batch_rows"] == 2, "requests never coalesced"
+    # exact on CPU (deterministic XLA); on TPU at default matmul
+    # precision the two separately-compiled programs can flip
+    # near-tie argmaxes (documented in serve/server.py)
+    assert got_g["tokens"] == base["tokens"]
     # reproducible per seed (batched alone or not)
     rep = gmm_server.request(dict(sampled))
     assert rep["tokens"] == got_s["tokens"]
@@ -124,11 +129,19 @@ def test_temperature_sampling_rows(gmm_server):
     assert toks.min() >= 0 and toks.max() < CFG.roll_dims
 
     before = gmm_server.stats()["rejected"]
-    assert "error" in gmm_server.request(
-        {"tokens": [1, 2], "temperature": -0.5})
-    assert "error" in gmm_server.request(
-        {"tokens": [1, 2], "temperature": float("nan")})
-    assert gmm_server.stats()["rejected"] == before + 2
+    bad = ({"tokens": [1, 2], "temperature": -0.5},
+           {"tokens": [1, 2], "temperature": float("nan")},
+           {"tokens": [1, 2], "temperature": float("inf")},
+           # beyond float32 1/T bounds: inv_t would underflow to 0 and the
+           # -1e30 pad-lane bias would tie with real lanes -> out-of-vocab
+           {"tokens": [1, 2], "temperature": 1e300},
+           {"tokens": [1, 2], "temperature": 1e-30},
+           # negative seed would crash default_rng at LAUNCH, failing the
+           # whole co-batched group — must reject at validation
+           {"tokens": [1, 2], "seed": -7})
+    for b in bad:
+        assert "error" in gmm_server.request(b), b
+    assert gmm_server.stats()["rejected"] == before + len(bad)
 
 
 def test_steps_truncation_and_validation(gmm_server):
